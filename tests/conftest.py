@@ -1,0 +1,22 @@
+"""Test harness config: run all tests on CPU with 8 virtual devices.
+
+This is the TPU-native substitute for multi-node test clusters: sharding and
+collective behavior is validated on a fake 8-device mesh (SURVEY.md §4).
+Must set env vars before jax is imported anywhere.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
