@@ -1,0 +1,180 @@
+"""N-D interpolation / warping / resizing primitives in pure JAX.
+
+TPU-first re-design of the tensor-math layer of the reference
+(``ext/neuron/utils.py``: interpn :25, resize :127, affine_to_shift :160,
+combine_non_linear_and_aff_to_shift :222, transform :289, integrate_vec :323).
+Everything is a pure function over static shapes — vectorized gathers replace
+the reference's per-corner python loops over ``tf.map_fn``, and batching is
+obtained with ``jax.vmap`` at call sites.
+
+Coordinate conventions (identical to the reference):
+- ``interpn`` clips sample locations to ``[0, dim-1]`` (edge replication).
+- ``resize`` maps output index ``g`` to input coordinate ``g / zoom``
+  (corner-aligned at 0).
+- ``affine_to_shift`` applies the affine around the volume centre
+  ``(shape-1)/2`` and returns a dense shift (displacement) field.
+- ``integrate_vec`` is scaling-and-squaring: ``v /= 2**k`` then ``k`` times
+  ``v += warp(v, v)``.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+import jax
+import jax.numpy as jnp
+
+
+def ndgrid(shape, dtype=jnp.float32):
+    """List of len(shape) index grids, 'ij' indexing (ref neuron/utils.py:433)."""
+    return [g.astype(dtype) for g in
+            jnp.meshgrid(*[jnp.arange(s) for s in shape], indexing="ij")]
+
+
+def _ensure_channels(vol):
+    """Return (vol with channel axis, had_channels)."""
+    return vol, True
+
+
+def interpn(vol: jnp.ndarray, loc: jnp.ndarray, method: str = "linear") -> jnp.ndarray:
+    """Interpolate ``vol`` at locations ``loc``.
+
+    :param vol: array of shape (*spatial,) or (*spatial, C).
+    :param loc: float array (..., ndims) of sample coordinates in voxel units.
+    :param method: 'linear' or 'nearest'.
+    :return: (..., C) samples, or (...) if ``vol`` had no channel axis.
+
+    Mirrors reference ``interpn`` (neuron/utils.py:25-124): coordinates are
+    clipped to the volume bounds, so out-of-range samples replicate the edge.
+    """
+    ndims = loc.shape[-1]
+    squeeze_ch = vol.ndim == ndims
+    if squeeze_ch:
+        vol = vol[..., None]
+    if vol.ndim != ndims + 1:
+        raise ValueError(f"vol rank {vol.ndim} does not match loc dims {ndims}")
+    spatial = vol.shape[:-1]
+    nc = vol.shape[-1]
+    flat = vol.reshape(-1, nc)
+    # row strides for flattened (C-order) spatial indexing
+    strides = []
+    s = 1
+    for d in reversed(spatial):
+        strides.insert(0, s)
+        s *= d
+    loc = loc.astype(jnp.float32)
+
+    if method == "nearest":
+        idx = 0
+        for d in range(ndims):
+            c = jnp.clip(jnp.round(loc[..., d]).astype(jnp.int32), 0, spatial[d] - 1)
+            idx = idx + c * strides[d]
+        out = jnp.take(flat, idx, axis=0)
+    elif method == "linear":
+        loc0 = jnp.floor(loc)
+        clipped = [jnp.clip(loc[..., d], 0, spatial[d] - 1) for d in range(ndims)]
+        idx0 = [jnp.clip(loc0[..., d], 0, spatial[d] - 1).astype(jnp.int32)
+                for d in range(ndims)]
+        idx1 = [jnp.minimum(idx0[d] + 1, spatial[d] - 1) for d in range(ndims)]
+        # weight of the 'low' corner along d is (idx1 - clipped); 'high' corner 1-that
+        w_lo = [idx1[d].astype(jnp.float32) - clipped[d] for d in range(ndims)]
+        out = 0.0
+        for corner in itertools.product((0, 1), repeat=ndims):
+            idx = 0
+            wt = 1.0
+            for d in range(ndims):
+                idx = idx + (idx1[d] if corner[d] else idx0[d]) * strides[d]
+                wt = wt * (1.0 - w_lo[d] if corner[d] else w_lo[d])
+            out = out + wt[..., None] * jnp.take(flat, idx, axis=0).astype(jnp.float32)
+    else:
+        raise ValueError(f"method must be 'linear' or 'nearest', got {method}")
+
+    return out[..., 0] if squeeze_ch else out
+
+
+def transform(vol: jnp.ndarray, loc_shift: jnp.ndarray, method: str = "linear"):
+    """Warp ``vol`` by a dense shift field (ref neuron/utils.py:289-320).
+
+    Output at x takes data from ``vol[x + loc_shift[x]]``.
+    ``loc_shift``: (*spatial, ndims).
+    """
+    spatial = loc_shift.shape[:-1]
+    ndims = loc_shift.shape[-1]
+    mesh = ndgrid(spatial)
+    loc = jnp.stack([mesh[d] + loc_shift[..., d] for d in range(ndims)], axis=-1)
+    return interpn(vol, loc, method=method)
+
+
+def affine_to_shift(affine: jnp.ndarray, shape, shift_center: bool = True):
+    """Dense shift field realizing an affine transform (ref neuron/utils.py:160-219).
+
+    ``affine``: (ndims, ndims+1) or (ndims+1, ndims+1) matrix mapping output to
+    input coordinates, applied around the volume centre when ``shift_center``.
+    """
+    ndims = len(shape)
+    affine = affine.astype(jnp.float32)
+    if affine.ndim == 1:
+        affine = affine.reshape(ndims, ndims + 1)
+    mesh = ndgrid(shape)
+    if shift_center:
+        mesh = [mesh[d] - (shape[d] - 1) / 2.0 for d in range(ndims)]
+    nvox = 1
+    for s in shape:
+        nvox *= int(s)
+    flat = jnp.stack([m.reshape(-1) for m in mesh] + [jnp.ones(nvox)], axis=0)  # (ndims+1, nvox)
+    loc = (affine[:ndims] @ flat).T.reshape(*shape, ndims)
+    return loc - jnp.stack(mesh, axis=-1)
+
+
+def combine_nonlinear_and_affine_shift(svf_shift: jnp.ndarray, affine: jnp.ndarray,
+                                       shift_center: bool = True):
+    """Shift field for affine∘nonlinear (ref neuron/utils.py:222-286).
+
+    The affine is applied to (centered mesh + nonlinear shift).
+    """
+    shape = svf_shift.shape[:-1]
+    ndims = svf_shift.shape[-1]
+    affine = affine.astype(jnp.float32)
+    if affine.ndim == 1:
+        affine = affine.reshape(ndims, ndims + 1)
+    mesh = ndgrid(shape)
+    if shift_center:
+        mesh = [mesh[d] - (shape[d] - 1) / 2.0 for d in range(ndims)]
+    moved = [mesh[d] + svf_shift[..., d] for d in range(ndims)]
+    flat = jnp.stack([m.reshape(-1) for m in moved] + [jnp.ones(moved[0].size)], axis=0)
+    loc = (affine[:ndims] @ flat).T.reshape(*shape, ndims)
+    return loc - jnp.stack(mesh, axis=-1)
+
+
+def resize(vol: jnp.ndarray, new_shape, zoom_factor=None, method: str = "linear"):
+    """Zoom-style resize: output index g samples input at g / zoom
+    (ref neuron/utils.py:127-156).
+
+    ``vol``: (*spatial,) or (*spatial, C). ``zoom_factor`` defaults to
+    new_shape / old_shape per axis; may be traced scalars.
+    """
+    ndims = len(new_shape)
+    spatial = vol.shape[:ndims]
+    if zoom_factor is None:
+        zoom_factor = [new_shape[d] / spatial[d] for d in range(ndims)]
+    elif not isinstance(zoom_factor, (list, tuple)):
+        zoom_factor = [zoom_factor] * ndims
+    mesh = ndgrid(new_shape)
+    loc = jnp.stack([mesh[d] / zoom_factor[d] for d in range(ndims)], axis=-1)
+    return interpn(vol, loc, method=method)
+
+
+def integrate_vec(vec: jnp.ndarray, nb_steps: int = 7):
+    """Integrate a stationary velocity field by scaling-and-squaring
+    (ref neuron/utils.py:323-386, method='ss').
+
+    ``vec``: (*spatial, ndims). Returns the displacement field.
+    """
+    if nb_steps == 0:
+        return vec
+    vec = vec / (2 ** nb_steps)
+
+    def body(_, v):
+        return v + transform(v, v, method="linear")
+
+    return jax.lax.fori_loop(0, nb_steps, body, vec)

@@ -13,6 +13,11 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
+import jax
+
+# The axon TPU plugin in this image overrides JAX_PLATFORMS; force via config.
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 import pytest
 

@@ -1,0 +1,168 @@
+"""Oracle tests: core JAX ops vs scipy/numpy references (SURVEY.md §4 item 1)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy.ndimage import gaussian_filter, map_coordinates
+
+from synthsr_tpu.ops import interp, linops
+from synthsr_tpu.ops.blur import blurring_sigma_for_downsampling, blurring_sigma_np
+
+
+def test_interpn_exact_on_grid(rng):
+    vol = rng.normal(size=(5, 6, 7)).astype(np.float32)
+    mesh = np.stack(np.meshgrid(*[np.arange(s) for s in vol.shape], indexing="ij"),
+                    axis=-1).astype(np.float32)
+    out = interp.interpn(jnp.asarray(vol), jnp.asarray(mesh), "linear")
+    np.testing.assert_allclose(np.asarray(out), vol, atol=1e-5)
+
+
+def test_interpn_matches_map_coordinates(rng):
+    vol = rng.normal(size=(9, 10, 11)).astype(np.float32)
+    coords = rng.uniform(0, 8, size=(200, 3)).astype(np.float32)
+    ours = np.asarray(interp.interpn(jnp.asarray(vol), jnp.asarray(coords), "linear"))
+    oracle = map_coordinates(vol, coords.T, order=1, mode="nearest")
+    np.testing.assert_allclose(ours, oracle, atol=1e-4)
+
+
+def test_interpn_nearest_matches(rng):
+    vol = rng.integers(0, 30, size=(8, 8, 8)).astype(np.int32)
+    coords = rng.uniform(-1, 8.5, size=(100, 3)).astype(np.float32)
+    ours = np.asarray(interp.interpn(jnp.asarray(vol), jnp.asarray(coords), "nearest"))
+    clipped = np.clip(np.round(coords), 0, 7).astype(int)
+    oracle = vol[clipped[:, 0], clipped[:, 1], clipped[:, 2]]
+    np.testing.assert_array_equal(ours, oracle)
+
+
+def test_interpn_out_of_bounds_edge_replication(rng):
+    vol = rng.normal(size=(4, 4, 4)).astype(np.float32)
+    coords = np.array([[-2.0, 1.0, 1.0], [5.0, 1.0, 1.0]], np.float32)
+    out = np.asarray(interp.interpn(jnp.asarray(vol), jnp.asarray(coords), "linear"))
+    np.testing.assert_allclose(out[0], vol[0, 1, 1], atol=1e-5)
+    np.testing.assert_allclose(out[1], vol[3, 1, 1], atol=1e-5)
+
+
+def test_interpn_multichannel(rng):
+    vol = rng.normal(size=(6, 6, 6, 3)).astype(np.float32)
+    coords = rng.uniform(0, 5, size=(50, 3)).astype(np.float32)
+    out = np.asarray(interp.interpn(jnp.asarray(vol), jnp.asarray(coords), "linear"))
+    for c in range(3):
+        oracle = map_coordinates(vol[..., c], coords.T, order=1, mode="nearest")
+        np.testing.assert_allclose(out[:, c], oracle, atol=1e-4)
+
+
+def test_transform_zero_shift_is_identity(rng):
+    vol = rng.normal(size=(5, 6, 7)).astype(np.float32)
+    shift = np.zeros((5, 6, 7, 3), np.float32)
+    out = np.asarray(interp.transform(jnp.asarray(vol), jnp.asarray(shift)))
+    np.testing.assert_allclose(out, vol, atol=1e-5)
+
+
+def test_transform_integer_translation(rng):
+    vol = rng.normal(size=(6, 6, 6)).astype(np.float32)
+    shift = np.ones((6, 6, 6, 3), np.float32)  # sample at x+1
+    out = np.asarray(interp.transform(jnp.asarray(vol), jnp.asarray(shift)))
+    np.testing.assert_allclose(out[:5, :5, :5], vol[1:, 1:, 1:], atol=1e-5)
+
+
+def test_affine_to_shift_identity():
+    aff = jnp.eye(4)
+    shift = interp.affine_to_shift(aff, (4, 5, 6))
+    np.testing.assert_allclose(np.asarray(shift), 0.0, atol=1e-5)
+
+
+def test_affine_to_shift_rotation_about_center(rng):
+    # 90° rotation in the xy plane about the volume centre
+    aff = np.eye(4)
+    aff[:2, :2] = [[0, -1], [1, 0]]
+    shape = (7, 7, 7)
+    shift = np.asarray(interp.affine_to_shift(jnp.asarray(aff), shape))
+    # centre voxel must not move
+    np.testing.assert_allclose(shift[3, 3, 3], 0.0, atol=1e-5)
+    # voxel (4,3,3): centered coords (1,0,0) -> rotated (0,1,0) -> loc (3,4,3)
+    np.testing.assert_allclose(shift[4, 3, 3], [-1.0, 1.0, 0.0], atol=1e-5)
+
+
+def test_integrate_vec_zero_field():
+    vec = jnp.zeros((5, 5, 5, 3))
+    out = np.asarray(interp.integrate_vec(vec, nb_steps=4))
+    np.testing.assert_allclose(out, 0.0)
+
+
+def test_integrate_vec_constant_field_stays_constant_inside():
+    # constant field integrates to (approximately) itself away from edges
+    vec = jnp.ones((12, 12, 12, 3)) * 0.8
+    out = np.asarray(interp.integrate_vec(vec, nb_steps=5))
+    np.testing.assert_allclose(out[3:7, 3:7, 3:7], 0.8, atol=1e-3)
+
+
+def test_resize_doubles(rng):
+    vol = rng.normal(size=(6, 6, 6)).astype(np.float32)
+    out = np.asarray(interp.resize(jnp.asarray(vol), (12, 12, 12), zoom_factor=2.0))
+    assert out.shape == (12, 12, 12)
+    # even output indices hit input exactly
+    np.testing.assert_allclose(out[::2, ::2, ::2], vol, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# linops: matrix-form blur / resize
+# ---------------------------------------------------------------------------
+
+def test_blur_matrix_matches_scipy(rng):
+    vol = rng.normal(size=(24, 24, 24)).astype(np.float32)
+    sigma = 1.3
+    out = np.asarray(linops.blur3d(jnp.asarray(vol), [sigma] * 3))
+    win = linops.gaussian_window_size(sigma)
+    truncate = ((win - 1) // 2) / sigma
+    oracle = gaussian_filter(vol, sigma, mode="constant", truncate=truncate)
+    # interior matches tightly (edges differ: scipy normalizes, TF-SAME does not)
+    h = (win - 1) // 2
+    np.testing.assert_allclose(out[h:-h, h:-h, h:-h], oracle[h:-h, h:-h, h:-h],
+                               atol=2e-4)
+
+
+def test_blur_matrix_sigma_zero_identity(rng):
+    vol = rng.normal(size=(10, 11, 12)).astype(np.float32)
+    out = np.asarray(linops.blur3d(jnp.asarray(vol), [0.0, 0.0, 0.0], [3.0, 3.0, 3.0]))
+    np.testing.assert_allclose(out, vol, atol=1e-6)
+
+
+def test_blur_matrix_traced_sigma_equals_static(rng):
+    import jax
+
+    vol = jnp.asarray(rng.normal(size=(16, 16, 16)).astype(np.float32))
+
+    def f(s):
+        return linops.blur3d(vol, [s, s, s], [4.0, 4.0, 4.0])
+
+    out_traced = np.asarray(jax.jit(f)(jnp.float32(2.0)))
+    out_static = np.asarray(linops.blur3d(vol, [2.0] * 3, [4.0] * 3))
+    np.testing.assert_allclose(out_traced, out_static, atol=1e-5)
+
+
+def test_resize_matrix_matches_interp_resize(rng):
+    vol = rng.normal(size=(9, 9, 9)).astype(np.float32)
+    target = (14, 7, 9)
+    via_interp = np.asarray(interp.resize(jnp.asarray(vol), target))
+    mats = [linops.resize_matrix(target[d], 9) for d in range(3)]
+    via_mat = np.asarray(linops.apply_axis_ops(jnp.asarray(vol), mats))
+    np.testing.assert_allclose(via_mat, via_interp, atol=1e-4)
+
+
+def test_nn_downsample_matrix_masks_dead_rows():
+    m = np.asarray(linops.nn_downsample_matrix(8, 8, zoom=0.5, lr_count=4))
+    assert m[:4].sum() == 4  # 4 live one-hot rows
+    assert m[4:].sum() == 0  # dead rows masked
+
+
+def test_blurring_sigma_rules():
+    s = blurring_sigma_np([1, 1, 1], [1, 3, 0])
+    np.testing.assert_allclose(s, [0.5, 2.25, 0.0])
+    s2 = blurring_sigma_np([1, 1, 1], [2, 2, 2], mult_coef=0.42)
+    np.testing.assert_allclose(s2, [0.84, 0.84, 0.84])
+    s3 = blurring_sigma_np([1, 1, 1], [4, 4, 4], thickness=[2, 4, 4])
+    np.testing.assert_allclose(s3, [1.5, 3.0, 3.0])
+    # traced twin agrees
+    st = np.asarray(blurring_sigma_for_downsampling(
+        jnp.asarray([1.0, 1, 1]), jnp.asarray([1.0, 3, 0])))
+    np.testing.assert_allclose(st, [0.5, 2.25, 0.0])
