@@ -1,0 +1,167 @@
+"""U-Net architecture tests: shapes, parameter inventory, Keras .h5 round-trip,
+and a torch-based numerical oracle for conv/pool/upsample/batch-norm semantics."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from synthsr_tpu.models.h5_import import (export_keras_unet_weights,
+                                          load_keras_unet_weights)
+from synthsr_tpu.models.unet import UNet3D, synthsr_unet, upsample_nearest
+
+
+def _init(model, in_ch=1, size=32):
+    x = jnp.zeros((1, size, size, size, in_ch))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    return dict(variables), x
+
+
+def test_unet_output_shape():
+    model = synthsr_unet()
+    variables, x = _init(model)
+    y = model.apply(variables, x)
+    assert y.shape == (1, 32, 32, 32, 1)
+
+
+def test_unet_layer_inventory():
+    """The flagship config must expose exactly the reference layer names
+    (needed for by-name .h5 import), incl. the batch_norm=-1 layers every
+    SynthSR build uses (predict_command_line.py:76, training.py:339)."""
+    model = synthsr_unet()
+    variables, _ = _init(model)
+    params = variables["params"]
+    names = set(params.keys())
+    expected = {f"conv_downarm_{l}_{c}" for l in range(5) for c in range(2)}
+    expected |= {f"conv_uparm_{5 + l}_{c}" for l in range(4) for c in range(2)}
+    expected |= {f"bn_down_{l}" for l in range(5)}
+    expected |= {f"bn_up_{l}" for l in range(4)}
+    expected.add("likelihood")
+    assert names == expected
+    assert set(variables["batch_stats"].keys()) == (
+        {f"bn_down_{l}" for l in range(5)} | {f"bn_up_{l}" for l in range(4)})
+    # feature counts double per level: 24, 48, 96, 192, 384
+    assert params["conv_downarm_0_0"]["kernel"].shape == (3, 3, 3, 1, 24)
+    assert params["conv_downarm_4_1"]["kernel"].shape == (3, 3, 3, 384, 384)
+    # first decoder conv sees skip(192) + upsampled(384)
+    assert params["conv_uparm_5_0"]["kernel"].shape == (3, 3, 3, 576, 192)
+    assert params["likelihood"]["kernel"].shape == (1, 1, 1, 24, 1)
+
+
+def test_unet_param_count_matches_keras_formula():
+    model = synthsr_unet()
+    variables, _ = _init(model)
+    n = sum(int(np.prod(p.shape)) for coll in variables.values()
+            for lt in coll.values() for p in lt.values())
+    # independently computed from the Keras summary formula for this config
+    def conv_p(i, o, k=3):
+        return k ** 3 * i * o + o
+    expected = 0
+    feats = [24, 48, 96, 192, 384]
+    cin = 1
+    for f in feats:
+        expected += conv_p(cin, f) + conv_p(f, f) + 4 * f  # +BN gamma/beta/mean/var
+        cin = f
+    for level in range(4):
+        f = feats[3 - level]
+        up_in = feats[4 - level] + f
+        expected += conv_p(up_in, f) + conv_p(f, f) + 4 * f
+    expected += 1 * 24 + 1  # likelihood 1x1x1
+    assert n == expected
+
+
+def test_upsample_nearest():
+    x = jnp.arange(8.0).reshape(1, 2, 2, 2, 1)
+    y = upsample_nearest(x, 2)
+    assert y.shape == (1, 4, 4, 4, 1)
+    np.testing.assert_allclose(np.asarray(y[0, :2, :2, :2, 0]), np.asarray(x[0, 0, 0, 0, 0]))
+
+
+def _randomize(variables, rng):
+    def rnd(p):
+        return jnp.asarray(rng.normal(size=p.shape, scale=0.2).astype(np.float32))
+    v = {"params": jax.tree.map(rnd, variables["params"])}
+    if "batch_stats" in variables:
+        bs = {}
+        for l, t in variables["batch_stats"].items():
+            bs[l] = {"mean": rnd(t["mean"]),
+                     "var": jnp.abs(rnd(t["var"])) + 0.5}
+        v["batch_stats"] = bs
+    return v
+
+
+def test_h5_roundtrip(tmp_path):
+    model = UNet3D(nb_features=4, nb_levels=2, nb_labels=1)
+    variables, x = _init(model, size=8)
+    variables = _randomize(variables, np.random.default_rng(3))
+    p = str(tmp_path / "w.h5")
+    export_keras_unet_weights(p, variables)
+    zero = jax.tree.map(jnp.zeros_like, variables)
+    restored = load_keras_unet_weights(p, zero)
+    y0 = model.apply(variables, x)
+    y1 = model.apply(restored, x)
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1), atol=1e-6)
+
+
+def test_h5_skip_likelihood_head(tmp_path):
+    model = UNet3D(nb_features=4, nb_levels=2)
+    variables, _ = _init(model, size=8)
+    variables = _randomize(variables, np.random.default_rng(4))
+    p = str(tmp_path / "w.h5")
+    export_keras_unet_weights(p, variables)
+    template = jax.tree.map(jnp.zeros_like, variables)
+    restored = load_keras_unet_weights(p, template, skip_layers=("likelihood",))
+    assert np.all(np.asarray(restored["params"]["likelihood"]["kernel"]) == 0)
+    assert np.any(np.asarray(restored["params"]["conv_downarm_0_0"]["kernel"]) != 0)
+
+
+def test_unet_against_torch_oracle():
+    """Same weights in torch (channels-first conv3d) must produce the same
+    output — validates SAME padding, elu, maxpool, nearest upsample, concat
+    order, batch-norm placement (pre-BN skips!), and the .h5 kernel layout."""
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    model = UNet3D(nb_features=3, nb_levels=3, nb_conv_per_level=2,
+                   nb_labels=2, feat_mult=2, final_pred_activation="linear")
+    rng = np.random.default_rng(0)
+    x_np = rng.normal(size=(1, 8, 8, 8, 1)).astype(np.float32)
+    variables, _ = _init(model, size=8)
+    variables = _randomize(variables, rng)
+    y_jax = np.asarray(model.apply(variables, jnp.asarray(x_np)))
+    params, stats = variables["params"], variables["batch_stats"]
+
+    def conv(name, t):
+        k = torch.tensor(np.transpose(np.asarray(params[name]["kernel"]), (4, 3, 0, 1, 2)))
+        b = torch.tensor(np.asarray(params[name]["bias"]))
+        return F.conv3d(t, k, b, padding="same")
+
+    def bn(name, t):
+        return F.batch_norm(
+            t, torch.tensor(np.asarray(stats[name]["mean"])),
+            torch.tensor(np.asarray(stats[name]["var"])),
+            torch.tensor(np.asarray(params[name]["scale"])),
+            torch.tensor(np.asarray(params[name]["bias"])),
+            training=False, eps=1e-3)
+
+    t = torch.tensor(np.transpose(x_np, (0, 4, 1, 2, 3)))
+    skips = {}
+    for level in range(3):
+        for c in range(2):
+            t = F.elu(conv(f"conv_downarm_{level}_{c}", t))
+        skips[level] = t  # skip taps pre-BN conv output
+        t = bn(f"bn_down_{level}", t)
+        if level < 2:
+            t = F.max_pool3d(t, 2, 2)
+    for level in range(2):
+        src = 1 - level
+        t = F.interpolate(t, scale_factor=2, mode="nearest")
+        t = torch.cat([skips[src], t], dim=1)
+        for c in range(2):
+            t = F.elu(conv(f"conv_uparm_{3 + level}_{c}", t))
+        t = bn(f"bn_up_{level}", t)
+    k = torch.tensor(np.transpose(np.asarray(params["likelihood"]["kernel"]), (4, 3, 0, 1, 2)))
+    b = torch.tensor(np.asarray(params["likelihood"]["bias"]))
+    t = F.conv3d(t, k, b)
+    y_torch = np.transpose(t.detach().numpy(), (0, 2, 3, 4, 1))
+    np.testing.assert_allclose(y_jax, y_torch, atol=2e-4)
