@@ -1,0 +1,222 @@
+"""Numerical tests for the synthesis op library (oracles + invariants)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from synthsr_tpu.synth import augment
+
+KEY = jax.random.PRNGKey(42)
+
+
+def test_sample_affine_identity_when_all_false():
+    m = np.asarray(augment.sample_affine_matrix(KEY))
+    np.testing.assert_allclose(m, np.eye(4), atol=1e-6)
+
+
+def test_sample_affine_rotation_only_is_rotation():
+    m = np.asarray(augment.sample_affine_matrix(KEY, rotation_bounds=15))
+    r = m[:3, :3]
+    np.testing.assert_allclose(r @ r.T, np.eye(3), atol=1e-5)
+    assert abs(np.linalg.det(r) - 1) < 1e-5
+    np.testing.assert_allclose(m[:3, 3], 0, atol=1e-6)
+
+
+def test_sample_affine_translation_bounds():
+    vals = []
+    for i in range(50):
+        m = np.asarray(augment.sample_affine_matrix(jax.random.PRNGKey(i),
+                                                    translation_bounds=5))
+        vals.append(m[:3, 3])
+    vals = np.array(vals)
+    assert np.all(np.abs(vals) <= 5.0)
+    assert vals.std() > 1.0
+
+
+def test_random_spatial_deformation_smooth_and_invertible_ish(rng):
+    lab = jnp.asarray(rng.integers(0, 5, size=(24, 24, 24, 1)).astype(np.int32))
+    img = jnp.asarray(rng.normal(size=(24, 24, 24, 1)).astype(np.float32))
+    out_lab, out_img = augment.random_spatial_deformation(
+        KEY, [lab, img], ["nearest", "linear"],
+        scaling_bounds=0.15, rotation_bounds=15, shearing_bounds=0.012,
+        nonlin_std=3.0, nonlin_scale=0.0625)
+    assert out_lab.dtype == lab.dtype and out_img.dtype == img.dtype
+    # labels stay in the input label set
+    assert set(np.unique(np.asarray(out_lab))) <= set(np.unique(np.asarray(lab)))
+    # the two tensors are deformed by the SAME transform: where the label moved,
+    # the image moved too — check agreement via correlation of movement masks
+    moved_lab = (np.asarray(out_lab) != np.asarray(lab)).mean()
+    assert moved_lab > 0.1
+
+
+def test_random_crop_joint(rng):
+    a = jnp.asarray(rng.normal(size=(16, 16, 16, 1)).astype(np.float32))
+    b = a * 2.0
+    ca, cb = augment.random_crop(KEY, [a, b], (8, 10, 12))
+    assert ca.shape == (8, 10, 12, 1)
+    np.testing.assert_allclose(np.asarray(cb), 2 * np.asarray(ca), atol=1e-6)
+
+
+def test_random_flip_swaps_labels(rng):
+    # labels: 0 neutral, 1 left, 2 right
+    lab = jnp.asarray(rng.integers(0, 3, size=(8, 8, 8, 1)).astype(np.int32))
+    lut = augment.build_swap_lut([0, 1, 2], 1)
+    np.testing.assert_array_equal(lut, [0, 2, 1])
+    # prob=1 forces the flip on one axis -> odd -> swap
+    out, = augment.random_flip(KEY, [lab], axes=[0], swap_flags=[True],
+                               swap_lut=lut, prob=1.0)
+    expect = np.flip(np.asarray(lab), axis=0)
+    expect = np.asarray([0, 2, 1])[expect]
+    np.testing.assert_array_equal(np.asarray(out), expect)
+    # prob=0: identity
+    out0, = augment.random_flip(KEY, [lab], axes=[0], swap_flags=[True],
+                                swap_lut=lut, prob=0.0)
+    np.testing.assert_array_equal(np.asarray(out0), np.asarray(lab))
+
+
+def test_build_swap_lut_one_side_missing():
+    assert augment.build_swap_lut([0, 2, 3], 3) is None
+
+
+def test_sample_conditional_gmm_statistics(rng):
+    labels = jnp.asarray(np.full((32, 32, 32), 7, np.int32))
+    gen = np.array([0, 7, 9])
+    means = jnp.asarray(np.array([[10.0], [50.0], [90.0]], np.float32))
+    stds = jnp.asarray(np.array([[1.0], [5.0], [9.0]], np.float32))
+    img = np.asarray(augment.sample_conditional_gmm(KEY, labels, means, stds, gen))
+    assert img.shape == (32, 32, 32, 1)
+    assert abs(img.mean() - 50.0) < 0.3
+    assert abs(img.std() - 5.0) < 0.3
+
+
+def test_sample_conditional_gmm_multichannel(rng):
+    labels = jnp.asarray(rng.integers(0, 2, size=(16, 16, 16)).astype(np.int32) * 9)
+    gen = np.array([0, 9])
+    means = jnp.asarray(np.array([[0.0, 100.0], [200.0, 300.0]], np.float32))
+    stds = jnp.asarray(np.zeros((2, 2), np.float32))
+    img = np.asarray(augment.sample_conditional_gmm(KEY, labels, means, stds, gen))
+    lab = np.asarray(labels)
+    np.testing.assert_allclose(img[lab == 0, 0], 0.0)
+    np.testing.assert_allclose(img[lab == 9, 0], 200.0)
+    np.testing.assert_allclose(img[lab == 0, 1], 100.0)
+    np.testing.assert_allclose(img[lab == 9, 1], 300.0)
+
+
+def test_sample_resolution_bounds():
+    res_samples = []
+    for i in range(100):
+        res, thick = augment.sample_resolution(
+            jax.random.PRNGKey(i), [1.0, 1.0, 1.0], max_res_iso=[9.0] * 3,
+            max_res_aniso=[9.0] * 3)
+        res_samples.append(np.asarray(res))
+        t = np.asarray(thick)
+        assert np.all(t <= np.asarray(res) + 1e-6) and np.all(t >= 1.0 - 1e-6)
+    res_samples = np.array(res_samples)
+    assert res_samples.min() >= 1.0 and res_samples.max() <= 9.0
+    # aniso draws dominate (prob_iso=0.1): most samples have >=2 axes at min
+    n_axes_at_min = (np.abs(res_samples - 1.0) < 1e-5).sum(1)
+    assert (n_axes_at_min >= 2).mean() > 0.5
+
+
+def test_mimic_acquisition_vs_numpy_oracle(rng):
+    """Oracle: literal NN-downsample + linear re-upsample at fixed resolution."""
+    x = rng.normal(size=(24, 24, 24, 1)).astype(np.float32)
+    res = np.array([1.0, 1.0, 4.0], np.float32)
+    out = np.asarray(augment.mimic_acquisition(jnp.asarray(x), jnp.asarray(res),
+                                               [1.0, 1.0, 1.0], (24, 24, 24)))
+    # oracle: the reference materializes the NN-downsampled volume on the FULL
+    # static grid (size in_d here, since min_subsample_res == volume_res) and
+    # the linear upsample may read one tap beyond down_d at the far edge
+    # (lab2im/layers.py:946-966)
+    oracle = x.copy()
+    for d in range(3):
+        in_d = 24
+        down_d = int(in_d * 1.0 / res[d])
+        if down_d == in_d:
+            continue
+        down_zoom = down_d / in_d
+        g = np.arange(in_d)  # static grid
+        src = np.clip(np.round(g / down_zoom), 0, in_d - 1).astype(int)
+        oracle = np.take(oracle, src, axis=d)
+        up_zoom = 24 / down_d
+        u = np.clip(np.arange(24) / up_zoom, 0, in_d - 1)
+        lo = np.floor(u).astype(int)
+        hi = np.minimum(lo + 1, in_d - 1)
+        w = (u - lo).reshape([-1 if i == d else 1 for i in range(4)])
+        oracle = (1 - w) * np.take(oracle, lo, axis=d) + w * np.take(oracle, hi, axis=d)
+    np.testing.assert_allclose(out, oracle, atol=2e-4)
+
+
+def test_mimic_acquisition_identity_at_native_res(rng):
+    x = rng.normal(size=(16, 16, 16, 1)).astype(np.float32)
+    out = np.asarray(augment.mimic_acquisition(
+        jnp.asarray(x), jnp.asarray([1.0, 1.0, 1.0]), [1.0, 1.0, 1.0], (16, 16, 16)))
+    np.testing.assert_allclose(out, x, atol=1e-5)
+
+
+def test_mimic_acquisition_dist_map(rng):
+    x = rng.normal(size=(16, 16, 16, 1)).astype(np.float32)
+    out, dist = augment.mimic_acquisition(
+        jnp.asarray(x), jnp.asarray([1.0, 1.0, 4.0]), [1.0, 1.0, 1.0],
+        (16, 16, 16), build_dist_map=True)
+    d = np.asarray(dist)[..., 0]
+    assert d.shape == (16, 16, 16)
+    # distance varies only along the downsampled axis
+    assert np.allclose(d, d[0:1, 0:1, :])
+    assert d.max() > 0.5  # interpolated slices are far from acquired ones
+    # acquired slices have zero distance
+    assert np.isclose(d[0, 0, 0], 0.0, atol=1e-5)
+
+
+def test_resample_tensor_reliability(rng):
+    x = rng.normal(size=(16, 16, 16, 1)).astype(np.float32)
+    out, rel = augment.resample_tensor(jnp.asarray(x), (16, 16, 16),
+                                       subsample_res=[1, 1, 4], volume_res=[1, 1, 1],
+                                       build_reliability_map=True)
+    r = np.asarray(rel)[..., 0]
+    assert out.shape == (16, 16, 16, 1)
+    # acquired slices marked 1, interpolated < 1
+    assert np.isclose(r[0, 0, 0], 1.0)
+    assert r.min() < 0.5
+    # no downsample: all ones
+    _, rel1 = augment.resample_tensor(jnp.asarray(x), (16, 16, 16),
+                                      build_reliability_map=True)
+    np.testing.assert_allclose(np.asarray(rel1), 1.0)
+
+
+def test_bias_field_positive_multiplicative(rng):
+    x = jnp.asarray(np.ones((16, 16, 16, 1), np.float32))
+    out = np.asarray(augment.bias_field_corruption(KEY, x, bias_field_std=0.3,
+                                                   bias_scale=0.15, prob=1.0))
+    assert np.all(out > 0)
+    assert out.std() > 0.001  # field varies (scale .15 -> 3^3 control points)
+    # reference tutorial scale .025 on a small volume gives ONE control point:
+    # constant but non-identity field
+    outc = np.asarray(augment.bias_field_corruption(KEY, x, bias_field_std=0.3,
+                                                    bias_scale=0.025, prob=1.0))
+    assert np.all(outc > 0) and outc.std() < 1e-6 and abs(outc.mean() - 1) > 1e-4
+    # std 0: identity
+    out0 = np.asarray(augment.bias_field_corruption(KEY, x, bias_field_std=0))
+    np.testing.assert_allclose(out0, 1.0)
+
+
+def test_intensity_augmentation_normalise_and_clip(rng):
+    x = jnp.asarray(rng.uniform(0, 500, size=(12, 12, 12, 1)).astype(np.float32))
+    out = np.asarray(augment.intensity_augmentation(KEY, x, clip=300, normalise=True,
+                                                    gamma_std=0.5))
+    assert out.min() >= 0.0 and out.max() <= 1.0 + 1e-6
+    # pure normalise hits 0 and 1 exactly
+    out2 = np.asarray(augment.intensity_augmentation(KEY, x, normalise=True,
+                                                     gamma_std=0))
+    assert np.isclose(out2.min(), 0.0, atol=1e-6) and np.isclose(out2.max(), 1.0, atol=1e-5)
+
+
+def test_intensity_augmentation_contrast_inversion_range(rng):
+    x = jnp.asarray(rng.uniform(0, 1, size=(8, 8, 8, 4)).astype(np.float32))
+    outs = [np.asarray(augment.intensity_augmentation(
+        jax.random.PRNGKey(i), x, normalise=True, contrast_inversion=True))
+        for i in range(8)]
+    # some channel somewhere got inverted
+    assert any(np.corrcoef(o[..., c].ravel(), np.asarray(x)[..., c].ravel())[0, 1] < 0
+               for o in outs for c in range(4))
