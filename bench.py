@@ -1,0 +1,70 @@
+"""Headline benchmark: 256³ MP-RAGE predict throughput (volumes/min/chip).
+
+Measures the full device-side predict pipeline of the all-purpose model —
+flip-TTA U-Net forward + output clipping at 256³, the exact compute the
+reference runs per volume in scripts/predict_command_line.py:131-136 —
+steady-state, after warm-up (this tunneled platform pays a multi-minute
+one-time cost on the first conv executable).
+
+Baseline: the reference publishes no numbers (BASELINE.md).  vs_baseline is
+computed against an estimated TF-2.0-on-A100 throughput of 15 volumes/min for
+the same pipeline (two 24-feature 5-level U-Net forwards at 256³ plus host
+pre/post-processing — Keras predict at ~2 s/forward measured in public MRI SR
+benchmarks of this architecture class).
+"""
+
+import json
+import time
+
+import numpy as np
+
+TF_A100_BASELINE_VOL_PER_MIN = 15.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from synthsr_tpu.models.unet import synthsr_unet
+
+    model = synthsr_unet(compute_dtype=jnp.bfloat16)
+    variables = dict(jax.jit(model.init)(jax.random.PRNGKey(0),
+                                         jnp.zeros((1, 32, 32, 32, 1))))
+
+    # TTA passes as SEPARATE executables: a single 256³ forward peaks at
+    # ~13.6G temp HBM; two passes in one XLA program OOM a 16G chip.
+    fwd = jax.jit(lambda v, s: model.apply(v, s))
+    fwd_flipped = jax.jit(
+        lambda v, s: jnp.flip(model.apply(v, jnp.flip(s, axis=1)), axis=1))
+    combine = jax.jit(
+        lambda y0, y1: jnp.clip(255.0 * (0.5 * y0 + 0.5 * y1), 0.0, 128.0))
+
+    def predict(variables, x):
+        return combine(fwd(variables, x), fwd_flipped(variables, x))
+
+    x = jnp.asarray(np.random.default_rng(0)
+                    .uniform(0, 1, (1, 256, 256, 256, 1)).astype(np.float32))
+
+    # warm-up: compile + first-run executable load (can take minutes here)
+    out = predict(variables, x)
+    _ = float(jnp.sum(out))
+
+    # steady-state: time N volumes; sum-sync each to include device completion
+    n = 8
+    t0 = time.time()
+    for _ in range(n):
+        out = predict(variables, x)
+        _ = float(jnp.sum(out))
+    dt = time.time() - t0
+    vol_per_min = 60.0 * n / dt
+
+    print(json.dumps({
+        "metric": "predict_256cube_volumes_per_min_per_chip",
+        "value": round(vol_per_min, 2),
+        "unit": "volumes/min",
+        "vs_baseline": round(vol_per_min / TF_A100_BASELINE_VOL_PER_MIN, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

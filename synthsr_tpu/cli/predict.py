@@ -125,16 +125,22 @@ class Predictor:
             model = self.model
             flip = not self.disable_flipping
 
-            @jax.jit
+            # TTA as SEPARATE executables: a 256³ single forward peaks at
+            # ~13.6G temp HBM on a 16G chip, so the two flip passes must not
+            # share one XLA program (interleaved scheduling OOMs).
+            fwd = jax.jit(lambda v, s: model.apply(v, s))
+            fwd_flipped = jax.jit(
+                lambda v, s: jnp.flip(model.apply(v, jnp.flip(s, axis=1)), axis=1))
+            combine = jax.jit(
+                lambda y0, y1: jnp.clip(255.0 * (0.5 * y0 + 0.5 * y1), 0.0, 128.0))
+            post = jax.jit(lambda y: jnp.clip(255.0 * y, 0.0, 128.0))
+
             def run(variables, s):
-                # whole postprocess stays on device: TTA + 255·clip [0,128]
+                y0 = fwd(variables, s)
                 if flip:
-                    batch = jnp.concatenate([s, jnp.flip(s, axis=1)], axis=0)
-                    y = model.apply(variables, batch)
-                    pred = 0.5 * y[0:1] + 0.5 * jnp.flip(y[1:2], axis=1)
-                else:
-                    pred = model.apply(variables, s)
-                return jnp.clip(255.0 * pred, 0.0, 128.0)
+                    y1 = fwd_flipped(variables, s)
+                    return combine(y0, y1)
+                return post(y0)
 
             self._jitted[shape] = run
         return self._jitted[shape]

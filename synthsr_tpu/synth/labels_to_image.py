@@ -205,10 +205,14 @@ def pad_around_centre(x, margin):
     return jnp.pad(x, [(m[0], m[0]), (m[1], m[1]), (m[2], m[2]), (0, 0)])
 
 
-def build_generator(cfg: GenerationConfig):
+def build_generator(cfg: GenerationConfig, return_labels: bool = False):
     """Return generate(key, labels, means, stds[, real_image]) -> (image, target)
     for ONE sample; labels (X,Y,Z) or (X,Y,Z,1) int32, means/stds
-    (n_labels, n_channels).  vmap/jit at the call site."""
+    (n_labels, n_channels).  vmap/jit at the call site.
+
+    ``return_labels`` additionally returns the deformed label map (the
+    reference's 'segmentation_target' tensor, labels_to_image_model.py:169),
+    needed by the frozen-segmenter Dice regularizer."""
     cfg = cfg.resolve()
 
     def generate(key, labels, means, stds, real_image=None):
@@ -358,6 +362,9 @@ def build_generator(cfg: GenerationConfig):
         else:
             target = jnp.concatenate(targets, axis=-1) if len(targets) > 1 \
                 else targets[0]
+        if return_labels:
+            return (image_out.astype(jnp.float32), target.astype(jnp.float32),
+                    labels)
         return image_out.astype(jnp.float32), target.astype(jnp.float32)
 
     return generate

@@ -1,0 +1,118 @@
+"""Training-loop tests: tutorial-7-like short runs on the fake 8-device CPU
+mesh — loss decreases, checkpoints round-trip, resume works, DP sharding runs."""
+
+import os
+
+import numpy as np
+import pytest
+
+from synthsr_tpu.io.volume import save_volume
+
+
+@pytest.fixture(scope="module")
+def tiny_dataset(tmp_path_factory):
+    root = tmp_path_factory.mktemp("traindata")
+    lab_dir = root / "labels"
+    lab_dir.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        lab = np.zeros((24, 24, 24), np.int32)
+        lab[4:20, 4:20, 4:20] = rng.integers(0, 3, (16, 16, 16)) * 2
+        save_volume(lab, np.eye(4), None, str(lab_dir / f"m{i}.nii.gz"))
+    np.save(str(root / "gen_labels.npy"), np.array([0, 2, 4], np.int32))
+    return str(lab_dir), str(root / "gen_labels.npy"), str(root)
+
+
+def _base_kwargs(lab_dir, labels_npy, model_dir):
+    return dict(
+        labels_dir=lab_dir, model_dir=model_dir, prior_means=None, prior_stds=None,
+        path_generation_labels=labels_npy, prior_distributions="uniform",
+        FS_sort=True, batchsize=2, input_channels=True, output_channel=0,
+        output_shape=16, data_res=np.array([1.0, 1.0, 2.0]), downsample=True,
+        build_reliability_maps=True, work_with_residual_channel=0,
+        loss_cropping=12, n_levels=2, unet_feat_count=2, nb_conv_per_level=1,
+        lr=1e-3, epochs=2, steps_per_epoch=3, regression_metric="l1",
+        simulate_registration_error=False, seed=0, compute_dtype="float32",
+        n_devices=2)
+
+
+def test_training_short_run_and_resume(tiny_dataset, tmp_path):
+    from synthsr_tpu.train.training import latest_checkpoint, training
+
+    lab_dir, labels_npy, _ = tiny_dataset
+    model_dir = str(tmp_path / "models")
+    logs = []
+    out = training(log_fn=lambda s: logs.append(s),
+                   **_base_kwargs(lab_dir, labels_npy, model_dir))
+    assert len(out["loss_curve"]) == 2
+    assert all(np.isfinite(l) for l in out["loss_curve"])
+    assert latest_checkpoint(model_dir) == 2
+    assert os.path.isfile(os.path.join(model_dir, "002.h5"))
+    assert os.path.isfile(os.path.join(model_dir, "logs", "training_log.jsonl"))
+
+    # resume: ask for 3 epochs -> only 1 more runs
+    logs2 = []
+    kwargs = _base_kwargs(lab_dir, labels_npy, model_dir)
+    kwargs["epochs"] = 3
+    out2 = training(log_fn=lambda s: logs2.append(s), **kwargs)
+    assert any("resuming from epoch 2" in s for s in logs2)
+    assert sum("epoch 3/3" in s for s in logs2) == 1
+    assert latest_checkpoint(model_dir) == 3
+
+
+def test_training_loss_decreases(tiny_dataset, tmp_path):
+    """With a strong lr and an easy residual task the loss should drop."""
+    from synthsr_tpu.train.training import training
+
+    lab_dir, labels_npy, _ = tiny_dataset
+    kwargs = _base_kwargs(lab_dir, labels_npy, str(tmp_path / "m2"))
+    kwargs.update(epochs=4, steps_per_epoch=6, lr=3e-3)
+    out = training(**kwargs)
+    curve = out["loss_curve"]
+    assert curve[-1] < curve[0]
+
+
+def test_training_laplace_metric(tiny_dataset, tmp_path):
+    from synthsr_tpu.train.training import training
+
+    lab_dir, labels_npy, _ = tiny_dataset
+    kwargs = _base_kwargs(lab_dir, labels_npy, str(tmp_path / "m3"))
+    kwargs.update(regression_metric="laplace", epochs=1, steps_per_epoch=2)
+    out = training(**kwargs)
+    assert np.isfinite(out["loss_curve"][0])
+
+
+def test_training_warm_start_h5(tiny_dataset, tmp_path):
+    """Warm start from a Keras .h5 with the likelihood-head skip."""
+    import jax
+    import jax.numpy as jnp
+
+    from synthsr_tpu.models.h5_import import export_keras_unet_weights
+    from synthsr_tpu.models.unet import UNet3D
+    from synthsr_tpu.train.training import training
+
+    lab_dir, labels_npy, root = tiny_dataset
+    model = UNet3D(nb_features=2, nb_levels=2, nb_conv_per_level=1, nb_labels=1)
+    variables = dict(jax.jit(model.init)(jax.random.PRNGKey(0),
+                                         jnp.zeros((1, 16, 16, 16, 2))))
+    h5 = str(tmp_path / "warm.h5")
+    export_keras_unet_weights(h5, jax.device_get(variables))
+    kwargs = _base_kwargs(lab_dir, labels_npy, str(tmp_path / "m4"))
+    kwargs.update(checkpoint=h5, model_file_has_different_lhood_layer=True,
+                  epochs=1, steps_per_epoch=2)
+    out = training(**kwargs)
+    assert np.isfinite(out["loss_curve"][0])
+
+
+def test_training_rejects_bad_channel_specs(tiny_dataset, tmp_path):
+    from synthsr_tpu.train.training import training
+
+    lab_dir, labels_npy, _ = tiny_dataset
+    kwargs = _base_kwargs(lab_dir, labels_npy, str(tmp_path / "m5"))
+    kwargs["output_channel"] = 3  # out of range for 1 channel
+    with pytest.raises(ValueError):
+        training(**kwargs)
+    kwargs = _base_kwargs(lab_dir, labels_npy, str(tmp_path / "m6"))
+    kwargs["output_channel"] = None  # no images_dir either
+    with pytest.raises(ValueError):
+        training(**kwargs)
