@@ -1,0 +1,338 @@
+"""WGAN-GP adversarial fine-tuning of the SR generator.
+
+Re-design of ``SynthSR/fine_tuning_with_adversary.py:37-479``: same parameter
+surface and semantics — generator = U-Net on the synthetic graph (optionally
+warm-started), critic per models/discriminator.py, generator loss
+(1-wD[-wDice])·L1 + wD·(-D(fake)) [+ wDice·Dice via a frozen segmenter]
+(:539-576), critic loss -D(real)+D(fake)+λ·(‖∇D(x̂)‖-1)² on random-weighted
+interpolates (:579-595,604-625), alternating loop with 100 critic iterations
+on the very first step then ``training_ratio``:1 (:444-466), per-epoch saves
++ loss curves as .npy (:469-479).
+
+TPU-native differences: the two updates are separate jitted steps (explicit
+parameter partitioning replaces Keras trainable-flag flips); the gradient
+penalty uses jax.grad through the critic w.r.t. the interpolated inputs;
+generation runs on device inside both steps.
+
+Deviation (documented): ``work_with_residual_channel`` is validated but never
+applied in the reference (:256-261, unused afterwards); here it is applied to
+the generator output like in supervised training.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..io.labels import get_list_labels
+from ..models.discriminator import Discriminator3D
+from ..models.h5_import import export_keras_unet_weights, load_keras_unet_weights
+from ..models.unet import UNet3D
+from ..ops.losses import dice_loss, l1_loss
+from ..synth.brain_generator import BrainGenerator
+from ..utils.misc import get_mapping_lut, load_array_if_path, reformat_to_list
+from .metrics import assemble_prediction, center_crop, doubled_residual_indices
+from .training import keras_decay_schedule
+
+
+def random_weighted_average(key, real, fake):
+    """x̂ = w·real + (1-w)·fake with one uniform weight per batch element
+    (reference RandomWeightedAverage:604-625)."""
+    w = jax.random.uniform(key, (real.shape[0],) + (1,) * (real.ndim - 1))
+    return w * real + (1.0 - w) * fake
+
+
+def gradient_penalty(disc_apply, disc_params, x_hat, mask=None, weight=10.0):
+    """λ·mean((‖∇_x̂ D(x̂)‖₂ - 1)²), norm over spatial axes (reference :585-595)."""
+
+    def d_sum(xh):
+        return jnp.sum(disc_apply(disc_params, xh, mask))
+
+    grads = jax.grad(d_sum)(x_hat)
+    sq = jnp.sum(jnp.square(grads), axis=tuple(range(1, 4)))  # spatial axes only
+    norm = jnp.sqrt(jnp.maximum(sq, 1e-12))
+    return weight * jnp.mean(jnp.square(1.0 - norm))
+
+
+def training(labels_dir,
+             images_dir,
+             model_dir,
+             prior_means,
+             prior_stds,
+             path_generation_labels,
+             path_segmentation_equivalency=None,
+             segmentation_model_file=None,
+             prior_distributions="normal",
+             path_generation_classes=None,
+             FS_sort=True,
+             batchsize=1,
+             input_channels=True,
+             output_channel=None,
+             target_res=None,
+             output_shape=None,
+             flipping=True,
+             padding_margin=None,
+             scaling_bounds=0.2,
+             rotation_bounds=20,
+             shearing_bounds=0.03,
+             translation_bounds=5,
+             nonlin_std=5.0,
+             nonlin_shape_factor=0.04,
+             simulate_registration_error=False,
+             data_res=None,
+             thickness=None,
+             randomise_res=True,
+             downsample=True,
+             blur_range=1.03,
+             build_reliability_maps=False,
+             bias_field_std=0.4,
+             bias_shape_factor=0.04,
+             n_levels=5,
+             nb_conv_per_level=2,
+             conv_size=3,
+             unet_feat_count=24,
+             feat_multiplier=2,
+             dropout=0,
+             activation="elu",
+             lr_decay=0,
+             epochs=100,
+             steps_per_epoch=1000,
+             work_with_residual_channel=None,
+             loss_cropping=None,
+             lr_generator=1e-4,
+             lr_discriminator=1e-4,
+             relative_weight_segmentation=0.25,
+             relative_weight_discriminator=0.01,
+             checkpoint_generator=None,
+             gradient_penalty_weight=10,
+             first_training_ratio=100,
+             training_ratio=10,
+             labels_to_mask=None,
+             seed=None,
+             compute_dtype="float32",
+             log_fn=print):
+    del dropout
+
+    # ----- channel plumbing (reference :240-261) -----
+    input_channels_l = [bool(c) for c in reformat_to_list(input_channels)]
+    if output_channel is not None:
+        output_channel = list(reformat_to_list(output_channel))
+        n_output_channels = len(output_channel)
+    else:
+        n_output_channels = 1
+    if work_with_residual_channel is not None:
+        work_with_residual_channel = reformat_to_list(work_with_residual_channel)
+        if output_channel is not None and \
+                len(work_with_residual_channel) != len(output_channel):
+            raise ValueError("number of residual and output channels must match")
+    residual_indices = doubled_residual_indices(work_with_residual_channel,
+                                                build_reliability_maps,
+                                                input_channels=input_channels_l)
+
+    generation_labels, n_neutral_labels = get_list_labels(
+        label_list=path_generation_labels, labels_dir=labels_dir, FS_sort=FS_sort)
+    os.makedirs(model_dir, exist_ok=True)
+
+    brain_generator = BrainGenerator(
+        labels_dir=labels_dir, images_dir=images_dir,
+        generation_labels=generation_labels, n_neutral_labels=n_neutral_labels,
+        padding_margin=padding_margin, batchsize=batchsize,
+        input_channels=input_channels_l, output_channel=output_channel,
+        target_res=target_res, output_shape=output_shape,
+        output_div_by_n=2 ** n_levels, generation_classes=path_generation_classes,
+        prior_means=prior_means, prior_stds=prior_stds,
+        prior_distributions=prior_distributions, flipping=flipping,
+        scaling_bounds=scaling_bounds, rotation_bounds=rotation_bounds,
+        shearing_bounds=shearing_bounds, translation_bounds=translation_bounds,
+        nonlin_std=nonlin_std, nonlin_shape_factor=nonlin_shape_factor,
+        simulate_registration_error=simulate_registration_error,
+        randomise_res=randomise_res, data_res=data_res, thickness=thickness,
+        downsample=downsample, blur_range=blur_range,
+        build_reliability_maps=build_reliability_maps,
+        bias_field_std=bias_field_std, bias_shape_factor=bias_shape_factor,
+        seed=seed)
+
+    from ..synth.labels_to_image import build_generator
+
+    mask_input = labels_to_mask is not None
+    need_labels = mask_input or (segmentation_model_file is not None)
+    generate_fn = build_generator(brain_generator.cfg, return_labels=need_labels)
+    use_real = output_channel is None
+
+    dt = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[str(compute_dtype)]
+    gen_model = UNet3D(nb_features=unet_feat_count, nb_levels=n_levels,
+                       conv_size=conv_size, nb_labels=n_output_channels,
+                       feat_mult=feat_multiplier,
+                       nb_conv_per_level=nb_conv_per_level, activation=activation,
+                       final_pred_activation="linear", compute_dtype=dt)
+    n_in = sum(1 for c in input_channels_l if c) * (2 if build_reliability_maps else 1)
+    out_shape = brain_generator.model_output_shape
+    gen_vars = dict(jax.jit(gen_model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, *out_shape, n_in))))
+    if checkpoint_generator is not None:
+        log_fn(f"loading {checkpoint_generator}")
+        gen_vars = load_keras_unet_weights(checkpoint_generator, gen_vars)
+    gen_params, gen_bs = gen_vars["params"], gen_vars["batch_stats"]
+
+    disc_model = Discriminator3D(compute_dtype=dt)
+    disc_params = dict(jax.jit(disc_model.init)(
+        jax.random.PRNGKey(1), jnp.zeros((1, *out_shape, n_output_channels))))["params"]
+
+    # frozen segmenter
+    seg_apply = seg_eq = seg_vars = None
+    norm_m = norm_M = None
+    if segmentation_model_file is not None:
+        seg_eq = np.load(path_segmentation_equivalency)
+        seg_model = UNet3D(nb_features=unet_feat_count, nb_levels=n_levels,
+                           conv_size=conv_size, nb_labels=len(seg_eq),
+                           feat_mult=feat_multiplier,
+                           nb_conv_per_level=nb_conv_per_level,
+                           activation=activation, final_pred_activation="softmax",
+                           compute_dtype=dt)
+        seg_vars = dict(jax.jit(seg_model.init)(
+            jax.random.PRNGKey(2), jnp.zeros((1, *out_shape, 1))))
+        seg_vars = load_keras_unet_weights(segmentation_model_file, seg_vars)
+        seg_apply = seg_model.apply
+        # normalization percentiles from the first real image (reference :381-384)
+        from ..io.volume import load_volume
+        from ..utils.misc import list_images_in_folder
+
+        im0 = load_volume(list_images_in_folder(images_dir)[0])
+        norm_m, norm_M = float(np.percentile(im0, 2)), float(np.percentile(im0, 98))
+
+    mask_lut = None
+    if mask_input:
+        labels_to_mask_arr = load_array_if_path(labels_to_mask)
+        mask_lut = jnp.asarray(get_mapping_lut(generation_labels, labels_to_mask_arr))
+
+    gen_opt = optax.adam(keras_decay_schedule(lr_generator, lr_decay))
+    disc_opt = optax.adam(keras_decay_schedule(lr_discriminator, lr_decay))
+    gen_opt_state = gen_opt.init(gen_params)
+    disc_opt_state = disc_opt.init(disc_params)
+
+    def disc_apply(p, x, mask=None):
+        return disc_model.apply({"params": p}, x, mask)
+
+    def _generate(key, batch):
+        keys = jax.random.split(key, batch[0].shape[0])
+        args = (keys,) + tuple(batch)
+        out = jax.vmap(generate_fn)(*args)
+        if need_labels:
+            image, target, seg_t = out
+        else:
+            (image, target), seg_t = out, None
+        mask = None
+        if mask_input:
+            mask = mask_lut[seg_t[..., 0].astype(jnp.int32)][..., None].astype(jnp.float32)
+        return image, target, seg_t, mask
+
+    def _fake(p, bs, image, train):
+        if train:
+            out, updates = gen_model.apply({"params": p, "batch_stats": bs}, image,
+                                           train=True, mutable=["batch_stats"])
+        else:
+            out, updates = gen_model.apply({"params": p, "batch_stats": bs}, image), None
+        pred, _ = assemble_prediction(out, image,
+                                      work_with_residual_channel=residual_indices)
+        return pred, updates
+
+    @jax.jit
+    def disc_step(gen_params, gen_bs, disc_params, disc_opt_state, key, batch):
+        k_gen, k_avg = jax.random.split(key)
+        image, target, _, mask = _generate(k_gen, batch)
+        fake, _ = _fake(gen_params, gen_bs, image, train=False)
+
+        def loss_fn(dp):
+            x_hat = random_weighted_average(k_avg, target, fake)
+            d_real = disc_apply(dp, target, mask)
+            d_fake = disc_apply(dp, fake, mask)
+            gp = gradient_penalty(disc_apply, dp, x_hat, mask,
+                                  gradient_penalty_weight)
+            return jnp.mean(-d_real) + jnp.mean(d_fake) + gp
+
+        loss, grads = jax.value_and_grad(loss_fn)(disc_params)
+        upd, new_state = disc_opt.update(grads, disc_opt_state, disc_params)
+        return optax.apply_updates(disc_params, upd), new_state, loss
+
+    @jax.jit
+    def gen_step(gen_params, gen_bs, disc_params, gen_opt_state, key, batch):
+        image, target, seg_t, mask = _generate(key, batch)
+
+        def loss_fn(p):
+            fake, updates = _fake(p, gen_bs, image, train=True)
+            t_c = center_crop(target, loss_cropping)
+            f_c = center_crop(fake, loss_cropping)
+            l1 = l1_loss(f_c, t_c)
+            w = jnp.mean(-disc_apply(disc_params, fake, mask))
+            l1_weight = 1.0 - relative_weight_discriminator
+            loss = relative_weight_discriminator * w
+            if seg_apply is not None:
+                l1_weight -= relative_weight_segmentation
+                x = (jnp.clip(fake, norm_m, norm_M) - norm_m) / (norm_M - norm_m)
+                pred_seg = seg_apply(seg_vars, x)
+                seg_c = center_crop(seg_t, loss_cropping)
+                ps_c = center_crop(pred_seg, loss_cropping)
+                gts, preds = [], []
+                for li, lv in enumerate(np.asarray(generation_labels)):
+                    idx = np.where(seg_eq == lv)[0]
+                    if len(idx) > 0:
+                        gts.append((seg_c[..., -1] == int(lv)).astype(jnp.float32))
+                        preds.append(sum(ps_c[..., j] for j in idx))
+                dice = dice_loss(jnp.stack(gts, -1), jnp.stack(preds, -1),
+                                 enable_checks=False)
+                loss = loss + relative_weight_segmentation * dice
+            loss = loss + l1_weight * l1
+            return loss, updates
+
+        (loss, updates), grads = jax.value_and_grad(loss_fn, has_aux=True)(gen_params)
+        upd, new_state = gen_opt.update(grads, gen_opt_state, gen_params)
+        return (optax.apply_updates(gen_params, upd), updates["batch_stats"],
+                new_state, loss)
+
+    # ----- training loop (reference :444-479) -----
+    inputs_gen = brain_generator.model_inputs_generator
+    log_dir = os.path.join(model_dir, "logs")
+    os.makedirs(log_dir, exist_ok=True)
+    key = jax.random.PRNGKey(seed if seed is not None else 0)
+    d_curve, g_curve = [], []
+    le = len(str(epochs))
+    for epoch in range(epochs):
+        t0 = time.time()
+        avg_d, avg_g = 0.0, 0.0
+        for step_i in range(int(steps_per_epoch)):
+            ratio = first_training_ratio if (epoch == 0 and step_i == 0) \
+                else training_ratio
+            for _ in range(ratio):
+                batch = tuple(np.asarray(x) for x in next(inputs_gen))
+                key, sub = jax.random.split(key)
+                disc_params, disc_opt_state, d_loss = disc_step(
+                    gen_params, gen_bs, disc_params, disc_opt_state, sub, batch)
+                avg_d += float(d_loss) / (steps_per_epoch * ratio)
+            batch = tuple(np.asarray(x) for x in next(inputs_gen))
+            key, sub = jax.random.split(key)
+            gen_params, gen_bs, gen_opt_state, g_loss = gen_step(
+                gen_params, gen_bs, disc_params, gen_opt_state, sub, batch)
+            avg_g += float(g_loss) / steps_per_epoch
+        d_curve.append(avg_d)
+        g_curve.append(avg_g)
+        log_fn(f"Epoch {epoch + 1:0{le}d}/{epochs}  D {avg_d:.5f}  G {avg_g:.5f}  "
+               f"({time.time() - t0:.1f}s)")
+        np.save(os.path.join(log_dir, "discriminator_loss.npy"), np.array(d_curve))
+        np.save(os.path.join(log_dir, "generator_loss.npy"), np.array(g_curve))
+        export_keras_unet_weights(
+            os.path.join(model_dir, f"generator_{epoch + 1:0{le}d}.h5"),
+            {"params": jax.device_get(gen_params),
+             "batch_stats": jax.device_get(gen_bs)})
+        export_keras_unet_weights(
+            os.path.join(model_dir, f"discriminator_{epoch + 1:0{le}d}.h5"),
+            {"params": jax.device_get(disc_params)}, prefix="discriminator_")
+
+    return {"gen_params": gen_params, "gen_batch_stats": gen_bs,
+            "disc_params": disc_params, "d_curve": d_curve, "g_curve": g_curve}
