@@ -408,7 +408,10 @@ def training(labels_dir,
         log_fn(f"resuming from epoch {init_epoch}")
 
     # ----- loop -----
-    inputs_gen = brain_generator.model_inputs_generator
+    from ..utils.prefetch import PrefetchIterator
+
+    inputs_gen = PrefetchIterator(brain_generator.model_inputs_generator,
+                                  buffer_size=4)
     log_path = os.path.join(model_dir, "logs")
     os.makedirs(log_path, exist_ok=True)
     loss_curve = []
