@@ -23,8 +23,14 @@ from ..utils.misc import draw_value_from_distribution
 def build_model_inputs(path_label_maps, n_labels, prior_means, prior_stds,
                        prior_distributions="uniform", path_images=None,
                        batchsize=1, n_channels=1, generation_classes=None,
-                       rng: np.random.Generator | None = None):
-    """Infinite generator of model inputs (lists stacked to batch arrays)."""
+                       rng: np.random.Generator | None = None,
+                       use_specific_stats_for_channel=None):
+    """Infinite generator of model inputs (lists stacked to batch arrays).
+
+    ``use_specific_stats_for_channel``: None = SynthSR semantics (a 2n-row
+    prior array MUST have one 2-row block per channel, model_inputs.py:105-116);
+    True = same but as the lab2im option (image_generator.py); False = lab2im
+    default, a random modality block is drawn per channel."""
     _ = get_volume_info(path_label_maps[0])  # validates the first map
 
     if generation_classes is None:
@@ -48,12 +54,13 @@ def build_model_inputs(path_label_maps, n_labels, prior_means, prior_stds,
             stds = np.empty((1, n_labels, 0))
             for channel in range(n_channels):
                 pm, ps = prior_means, prior_stds
-                if isinstance(pm, np.ndarray):
+                per_channel = use_specific_stats_for_channel in (None, True)
+                if isinstance(pm, np.ndarray) and per_channel:
                     if pm.shape[0] / 2 != n_channels:
                         raise ValueError("the number of blocks in prior_means "
                                          "does not match n_channels")
                     pm = pm[2 * channel: 2 * channel + 2, :]
-                if isinstance(ps, np.ndarray):
+                if isinstance(ps, np.ndarray) and per_channel:
                     if ps.shape[0] / 2 != n_channels:
                         raise ValueError("the number of blocks in prior_stds "
                                          "does not match n_channels")
