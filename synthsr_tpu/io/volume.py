@@ -28,17 +28,34 @@ FS_AFFINE = np.array([[-1, 0, 0, 0], [0, 0, 1, 0], [0, -1, 0, 0], [0, 0, 0, 1]],
 # load / save / info  (reference utils.py:76-207)
 # ---------------------------------------------------------------------------
 
-def load_volume(path_volume, im_only=True, squeeze=True, dtype=None, aff_ref=None):
-    """Load a volume; optionally reorient to ``aff_ref`` (ref utils.py:76-119)."""
-    volume, aff, header = read_volume_file(path_volume)
-    if squeeze:
-        volume = np.squeeze(volume)
-    if not path_volume.endswith((".npz", ".npy")):
-        volume = np.asarray(volume, dtype=np.float64)  # nibabel get_fdata semantics
-    if dtype is not None:
-        if "int" in str(dtype):
-            volume = np.round(volume)
-        volume = volume.astype(dtype)
+def load_volume(path_volume, im_only=True, squeeze=True, dtype=None, aff_ref=None,
+                fast=True):
+    """Load a volume; optionally reorient to ``aff_ref`` (ref utils.py:76-119).
+
+    ``fast`` enables the native-loader / reduced-copy path when an explicit
+    ``dtype`` is requested (bit-identical results, skips the float64
+    get_fdata intermediate that exists only for nibabel parity)."""
+    volume = None
+    if fast and dtype is not None and path_volume.endswith((".nii", ".nii.gz")):
+        from ..native import read_nifti_fast
+
+        want = "int32" if "int" in str(dtype) else "float32"
+        res = read_nifti_fast(path_volume, want)
+        if res is not None:
+            volume, aff, header = res
+            if squeeze:
+                volume = np.squeeze(volume)
+            volume = volume.astype(dtype, copy=False)
+    if volume is None:
+        volume, aff, header = read_volume_file(path_volume)
+        if squeeze:
+            volume = np.squeeze(volume)
+        if not path_volume.endswith((".npz", ".npy")):
+            volume = np.asarray(volume, dtype=np.float64)  # nibabel get_fdata semantics
+        if dtype is not None:
+            if "int" in str(dtype):
+                volume = np.round(volume)
+            volume = volume.astype(dtype)
     if aff_ref is not None:
         n_dims, _ = get_dims(list(volume.shape), max_channels=10)
         volume, aff = align_volume_to_ref(volume, aff, aff_ref=aff_ref,
