@@ -201,6 +201,69 @@ class LoopInfo:
         self.previous = now
 
 
+def write_pickle(filepath, obj):
+    """(reference utils.py:296-301)"""
+    import pickle
+
+    with open(filepath, "wb") as f:
+        pickle.dump(obj, f)
+
+
+def read_pickle(filepath):
+    """(reference utils.py:304-308)"""
+    import pickle
+
+    with open(filepath, "rb") as f:
+        return pickle.load(f)
+
+
+def create_affine_transformation_matrix(n_dims, scaling=None, rotation=None,
+                                        shearing=None, translation=None):
+    """Numpy twin of the traced affine sampler: compose a (n+1, n+1) matrix
+    from explicit parameter values (reference utils.py:620-672).
+    T = Shear @ Scale @ Rot with a translation column; angles in degrees."""
+    trans_scaling = np.eye(n_dims + 1)
+    trans_shearing = np.eye(n_dims + 1)
+    trans_translation = np.eye(n_dims + 1)
+
+    if scaling is not None:
+        trans_scaling[np.arange(n_dims), np.arange(n_dims)] = scaling
+    if shearing is not None:
+        shearing_index = np.ones((n_dims + 1, n_dims + 1), dtype=bool)
+        shearing_index[np.eye(n_dims + 1, dtype=bool)] = False
+        shearing_index[-1, :] = False
+        shearing_index[:, -1] = False
+        trans_shearing[shearing_index] = shearing
+    if translation is not None:
+        trans_translation[np.arange(n_dims), n_dims] = translation
+
+    if n_dims == 2:
+        if rotation is None:
+            rotation = np.zeros(1)
+        else:
+            rotation = np.asarray(rotation) * (np.pi / 180)
+        trans_rot = np.eye(n_dims + 1)
+        trans_rot[:2, :2] = [[np.cos(rotation[0]), np.sin(rotation[0])],
+                             [np.sin(rotation[0]) * -1, np.cos(rotation[0])]]
+        return trans_translation @ trans_shearing @ trans_scaling @ trans_rot
+
+    if rotation is None:
+        rotation = np.zeros(n_dims)
+    else:
+        rotation = np.asarray(reformat_to_list(rotation, length=n_dims)) * (np.pi / 180)
+    rx = np.eye(n_dims + 1)
+    rx[1:3, 1:3] = [[np.cos(rotation[0]), np.sin(rotation[0])],
+                    [-np.sin(rotation[0]), np.cos(rotation[0])]]
+    ry = np.eye(n_dims + 1)
+    ry[:3, :3] = [[np.cos(rotation[1]), 0, -np.sin(rotation[1])],
+                  [0, 1, 0],
+                  [np.sin(rotation[1]), 0, np.cos(rotation[1])]]
+    rz = np.eye(n_dims + 1)
+    rz[:2, :2] = [[np.cos(rotation[2]), np.sin(rotation[2])],
+                  [-np.sin(rotation[2]), np.cos(rotation[2])]]
+    return trans_translation @ trans_shearing @ trans_scaling @ rx @ ry @ rz
+
+
 def draw_value_from_distribution(hyperparameter, size=1, distribution="uniform",
                                  centre=0.0, default_range=10.0, positive_only=False,
                                  rng: np.random.Generator | None = None):

@@ -1,0 +1,130 @@
+"""Dataset/directory batch-tool tests."""
+
+import os
+
+import numpy as np
+import pytest
+
+from synthsr_tpu.io import dataset_tools as dt
+from synthsr_tpu.io.volume import load_volume, save_volume
+
+
+@pytest.fixture()
+def dataset(tmp_path):
+    img_dir = tmp_path / "img"
+    lab_dir = tmp_path / "lab"
+    img_dir.mkdir()
+    lab_dir.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        lab = np.zeros((24, 24, 24), np.int32)
+        lab[6:18, 6:18, 6:18] = rng.integers(1, 4, (12, 12, 12))
+        img = lab * 40.0 + rng.normal(0, 3, lab.shape)
+        save_volume(lab, np.eye(4), None, str(lab_dir / f"s{i}.nii.gz"))
+        save_volume(img.astype(np.float32), np.eye(4), None,
+                    str(img_dir / f"s{i}.nii.gz"))
+    return str(img_dir), str(lab_dir), tmp_path
+
+
+def test_rescale_images_in_dir(dataset):
+    img_dir, _, tmp = dataset
+    out = tmp / "rescaled"
+    dt.rescale_images_in_dir(img_dir, str(out), min_percentile=0, max_percentile=100)
+    v = load_volume(str(out / "s0.nii.gz"))
+    assert v.min() == 0 and np.isclose(v.max(), 255)
+
+
+def test_crop_pad_align_flip_in_dir(dataset):
+    img_dir, _, tmp = dataset
+    dt.crop_images_in_dir(img_dir, str(tmp / "c"), cropping_shape=16)
+    assert load_volume(str(tmp / "c" / "s0.nii.gz")).shape == (16, 16, 16)
+    shape = dt.pad_images_in_dir(str(tmp / "c"), str(tmp / "p"), max_shape=[20, 20, 20])
+    assert shape == [20, 20, 20]
+    assert load_volume(str(tmp / "p" / "s0.nii.gz")).shape == (20, 20, 20)
+    dt.flip_images_in_dir(img_dir, str(tmp / "f"), axis=0)
+    a = load_volume(str(tmp / "f" / "s0.nii.gz"))
+    b = load_volume(os.path.join(img_dir, "s0.nii.gz"))
+    np.testing.assert_allclose(a, b[::-1], atol=1e-5)
+
+
+def test_mask_and_multimodal(dataset):
+    img_dir, lab_dir, tmp = dataset
+    dt.mask_images_in_dir(img_dir, str(tmp / "m"), threshold=20.0)
+    v = load_volume(str(tmp / "m" / "s0.nii.gz"))
+    assert (v[:4, :4, :4] == 0).all()
+    dt.create_mutlimodal_images([img_dir, img_dir], str(tmp / "mm"))
+    v = load_volume(str(tmp / "mm" / "s0.nii.gz"))
+    assert v.shape[-1] == 2
+
+
+def test_label_tools_in_dir(dataset):
+    _, lab_dir, tmp = dataset
+    dt.mask_labels_in_dir(lab_dir, str(tmp / "ml"), values_to_keep=[1])
+    v = load_volume(str(tmp / "ml" / "s0.nii.gz"), dtype="int32")
+    assert set(np.unique(v)) <= {0, 1}
+    dt.smooth_labels_in_dir(lab_dir, str(tmp / "sl"))
+    dt.erode_labels_in_dir(lab_dir, str(tmp / "el"), labels_to_erode=[1])
+    vols = dt.compute_hard_volumes_in_dir(lab_dir, path_label_list=np.array([0, 1, 2, 3]))
+    assert vols.shape == (3, 3)  # skip background -> 3 labels, 3 subjects
+
+
+def test_simulate_upsampled_anisotropic(dataset):
+    img_dir, lab_dir, tmp = dataset
+    dt.simulate_upsampled_anisotropic_images(
+        img_dir, str(tmp / "down"), str(tmp / "up"), data_res=[1, 1, 3],
+        labels_dir=lab_dir, downsample_labels_result_dir=str(tmp / "labdown"),
+        build_dist_map=True)
+    down = load_volume(str(tmp / "down" / "s0.nii.gz"))
+    up = load_volume(str(tmp / "up" / "s0.nii.gz"))
+    assert down.shape == (24, 24, 8)
+    assert up.shape == (24, 24, 24, 2)  # image + distance channel
+    lab_down = load_volume(str(tmp / "labdown" / "s0.nii.gz"), dtype="int32")
+    assert lab_down.shape == (24, 24, 8)
+    assert set(np.unique(lab_down)) <= {0, 1, 2, 3}
+
+
+def test_upsample_anisotropic_images(dataset):
+    img_dir, _, tmp = dataset
+    # build LR inputs first
+    dt.simulate_upsampled_anisotropic_images(img_dir, str(tmp / "d2"),
+                                             str(tmp / "u2"), data_res=[1, 1, 3])
+    dt.upsample_anisotropic_images(str(tmp / "d2"), str(tmp / "up2"), img_dir)
+    up = load_volume(str(tmp / "up2" / "s0.nii.gz"))
+    assert up.shape == (24, 24, 24)
+    dist = load_volume(str(tmp / "up2" / "dist_map_s0.nii.gz"))
+    assert dist.shape == (24, 24, 24) and dist.max() > 0.5
+
+
+def test_build_atlas(dataset):
+    _, lab_dir, tmp = dataset
+    atlas = dt.build_atlas(lab_dir, np.array([0, 1, 2, 3]),
+                           path_atlas=str(tmp / "atlas.nii.gz"))
+    assert atlas.shape == (24, 24, 24, 4)
+    np.testing.assert_allclose(atlas.sum(-1), 1.0, atol=1e-5)
+
+
+def test_subdivide_dataset_to_patches(dataset):
+    img_dir, lab_dir, tmp = dataset
+    dt.subdivide_dataset_to_patches(12, image_dir=img_dir,
+                                    image_result_dir=str(tmp / "ip"),
+                                    labels_dir=lab_dir,
+                                    labels_result_dir=str(tmp / "lp"),
+                                    full_background=False)
+    files = sorted(os.listdir(str(tmp / "ip")))
+    assert len(files) == 3 * 8  # 2x2x2 patches per volume, all contain labels
+    v = load_volume(str(tmp / "ip" / files[0]))
+    assert v.shape == (12, 12, 12)
+
+
+def test_check_tools(dataset):
+    img_dir, lab_dir, tmp = dataset
+    shapes, res = dt.check_images_in_dir(img_dir, verbose=False)
+    assert shapes.shape == (1, 3)
+    problems = dt.check_images_and_labels(img_dir, lab_dir, verbose=False)
+    assert problems == []
+
+
+def test_external_wrapper_errors_cleanly(dataset):
+    img_dir, _, tmp = dataset
+    with pytest.raises(FileNotFoundError, match="mri_convert"):
+        dt.mri_convert_images_in_dir(img_dir, str(tmp / "conv"))
