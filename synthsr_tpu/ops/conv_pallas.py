@@ -1,0 +1,100 @@
+"""Pallas 3-D convolution kernel for small channel counts.
+
+XLA's conv on TPU places output channels on the 128-lane axis, so the
+24-feature U-Net runs at ≤24/128 of MXU throughput (measured ~10 TFLOPs at
+24ch vs ~130 TFLOPs at 128ch).  This kernel transposes the problem: channels
+live on the 8-sublane axis (24 = 3·8, no padding) and SPATIAL positions on
+the lane axis — out^T (C_out, S) = W^T (C_out, 27·C_in) @ patches (27·C_in, S)
+— recovering MXU utilization for small C.
+
+Layout: channels-first (C, D, H, W); SAME zero padding; stride 1; 3³ kernels.
+Grid is (D, H/block_h); each step DMAs a (C, 3, block_h+8, Wp) slab from HBM,
+builds the 27-tap patch matrix with aligned dynamic loads + static register
+shifts, and runs one MXU dot per H row.
+
+Mosaic constraints baked in (each cost a compile attempt): values can't be
+dynamically sliced (slice refs via pl.ds), dynamic sublane starts must be
+8-aligned (hence the +8 H padding and static dy shifts), flattens/implicit
+reshapes need 128-aligned lanes (hence 3-D patches and exact-shape writes),
+DMA slices need 128-aligned minor dims (hence W padded to a 128 multiple).
+
+STATUS: experimental — correct (interpret-mode oracle test) and 2.6x faster
+than XLA's conv standalone at 256³ 24ch bf16 (85ms vs 225ms net of transport),
+but NOT yet wired into UNet3D: the per-conv channels-first transposes and
+jnp.pad copies blow HBM at 256³ in-context (10.7x padding expansion).
+Finishing it needs in-kernel boundary handling (drop the host-side pad) and a
+channels-first network so transposes happen once per model, not per conv.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(x_hbm, w_ref, out_ref, slab, patches, sem, *, cin, cout, wp,
+            th, w_out):
+    d = pl.program_id(0)
+    hb = pl.program_id(1)
+    h0 = pl.multiple_of(hb * th, 8)
+    cp = pltpu.make_async_copy(
+        x_hbm.at[:, pl.ds(d, 3), pl.ds(h0, th + 8)], slab, sem)
+    cp.start()
+    cp.wait()
+
+    for tap in range(27):
+        dz, rem = divmod(tap, 9)
+        dy, dx = divmod(rem, 3)
+        u = slab[:, dz, :, dx:dx + w_out]       # (C, th+8, W) aligned load
+        patches[tap * cin:(tap + 1) * cin, :, :] = u[:, dy:dy + th, :]
+
+    rows = [jax.lax.dot_general(
+        w_ref[:], patches[:, r, :],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) for r in range(th)]
+    out_ref[:, :, :] = jnp.stack(rows, axis=1).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_h", "interpret"))
+def conv3d_cf(x, w, block_h: int = 8, interpret: bool = False):
+    """SAME 3³ conv, channels-first.
+
+    x: (C_in, D, H, W); w: (3, 3, 3, C_in, C_out) (DHWIO, as flax).
+    Returns (C_out, D, H, W) in x.dtype.
+    """
+    cin, d, h, wdim = x.shape
+    cout = w.shape[-1]
+    assert w.shape[:3] == (3, 3, 3)
+    assert h % block_h == 0, f"H={h} must be divisible by block_h={block_h}"
+    assert block_h % 8 == 0, "block_h must be a multiple of 8"
+    wp = ((wdim + 2 + 127) // 128) * 128
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 7), (1, wp - wdim - 1)))
+    wt = jnp.transpose(w.reshape(27 * cin, cout), (1, 0))  # (cout, 27*cin)
+
+    th = block_h
+    n_hb = h // th
+    out = pl.pallas_call(
+        functools.partial(_kernel, cin=cin, cout=cout, wp=wp, th=th,
+                          w_out=wdim),
+        grid=(d, n_hb),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),   # padded input in HBM
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # (cout, 27*cin) weights
+        ],
+        out_specs=pl.BlockSpec((cout, th, wdim),
+                               lambda dd, hb: (0, dd * (h // th) + hb, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((cout, d * h, wdim), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((cin, 3, th + 8, wp), x.dtype),
+            pltpu.VMEM((27 * cin, th, wdim), x.dtype),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(xp, wt.astype(x.dtype))
+    return out.reshape(cout, d, h, wdim)

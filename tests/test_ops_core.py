@@ -166,3 +166,21 @@ def test_blurring_sigma_rules():
     st = np.asarray(blurring_sigma_for_downsampling(
         jnp.asarray([1.0, 1, 1]), jnp.asarray([1.0, 3, 0])))
     np.testing.assert_allclose(st, [0.5, 2.25, 0.0])
+
+
+def test_pallas_conv3d_matches_xla(rng):
+    """Interpret-mode oracle for the experimental channels-on-sublanes conv
+    kernel (ops/conv_pallas.py)."""
+    import jax
+    import jax.lax as lax
+
+    from synthsr_tpu.ops.conv_pallas import conv3d_cf
+
+    x = rng.normal(size=(8, 8, 16, 24)).astype(np.float32)
+    w = rng.normal(size=(3, 3, 3, 8, 16)).astype(np.float32) * 0.1
+    ours = np.asarray(conv3d_cf(jnp.asarray(x), jnp.asarray(w), interpret=True))
+    xl = jnp.transpose(jnp.asarray(x), (1, 2, 3, 0))[None]
+    oracle = np.transpose(np.asarray(lax.conv_general_dilated(
+        xl, jnp.asarray(w), (1, 1, 1), "SAME",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))[0]), (3, 0, 1, 2))
+    np.testing.assert_allclose(ours, oracle, atol=1e-5)
