@@ -308,3 +308,40 @@ def draw_value_from_distribution(hyperparameter, size=1, distribution="uniform",
     if positive_only:
         value = np.maximum(value, 0)
     return value
+
+
+def build_training_generator(gen, batchsize):
+    """Pair an inputs generator with dummy targets (reference utils.py:917-925).
+
+    The Keras fit_generator API needed a dummy y; the jitted train steps in
+    synthsr_tpu.train compute losses in-graph, so this exists for parity and
+    for users porting reference training drivers."""
+    import numpy as np
+
+    while True:
+        inputs = next(gen)
+        if batchsize > 1:
+            target = np.concatenate([np.zeros((1, 1))] * batchsize, 0)
+        else:
+            target = np.zeros((1, 1))
+        yield inputs, target
+
+
+def write_model_summary(params, filepath="./model_summary.txt", line_length=110):
+    """Write a layer/shape/param-count summary of a flax variables dict
+    (reference utils.write_model_summary:311-316 analogue)."""
+    import numpy as np
+
+    lines = []
+    total = 0
+    for coll, layers in params.items():
+        for lname, ltree in layers.items():
+            for pname, arr in ltree.items():
+                n = int(np.prod(arr.shape))
+                total += n
+                lines.append(f"{coll}/{lname}/{pname}".ljust(60)
+                             + str(tuple(arr.shape)).ljust(30) + str(n))
+    lines.append(f"Total parameters: {total}")
+    with open(filepath, "w") as f:
+        f.write("\n".join(line[:line_length] for line in lines) + "\n")
+    return total

@@ -165,3 +165,41 @@ def test_unet_against_torch_oracle():
     t = F.conv3d(t, k, b)
     y_torch = np.transpose(t.detach().numpy(), (0, 2, 3, 4, 1))
     np.testing.assert_allclose(y_jax, y_torch, atol=2e-4)
+
+
+def test_autoencoder_and_local_bias():
+    """AE/VAE extras (models/autoencoder.py) forward + VAE sampling."""
+    from synthsr_tpu.models.autoencoder import AutoEncoder3D, LocalBias
+
+    x = jnp.zeros((1, 16, 16, 16, 1))
+    ae = AutoEncoder3D(nb_features=2, nb_levels=2, enc_size=(4,),
+                       final_pred_activation="linear")
+    v = ae.init(jax.random.PRNGKey(0), x)
+    y = ae.apply(v, x)
+    assert y.shape == (1, 16, 16, 16, 1)
+    # VAE: stochastic with different rngs
+    vae = AutoEncoder3D(nb_features=2, nb_levels=2, enc_size=(4,), do_vae=True,
+                        final_pred_activation="linear")
+    xr = jnp.ones((1, 16, 16, 16, 1))
+    v = vae.init({"params": jax.random.PRNGKey(0), "vae": jax.random.PRNGKey(1)}, xr)
+    y1 = vae.apply(v, xr, rngs={"vae": jax.random.PRNGKey(2)})
+    y2 = vae.apply(v, xr, rngs={"vae": jax.random.PRNGKey(3)})
+    assert np.abs(np.asarray(y1) - np.asarray(y2)).max() > 1e-7
+
+    lb = LocalBias(biasmult=2.0)
+    vb = lb.init(jax.random.PRNGKey(0), xr)
+    yb = lb.apply(vb, xr)
+    expected = 1.0 + 2.0 * np.asarray(vb["params"]["kernel"])
+    np.testing.assert_allclose(np.asarray(yb)[0], expected, atol=1e-6)
+
+
+def test_write_model_summary(tmp_path):
+    from synthsr_tpu.utils.misc import write_model_summary
+
+    model = UNet3D(nb_features=2, nb_levels=2, nb_conv_per_level=1)
+    v = dict(jax.jit(model.init)(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 8, 1))))
+    p = str(tmp_path / "summary.txt")
+    total = write_model_summary(jax.device_get(v), p)
+    assert total > 0
+    text = open(p).read()
+    assert "Total parameters" in text and "conv_downarm_0_0" in text
