@@ -117,6 +117,7 @@ def training(labels_dir,
              labels_to_mask=None,
              seed=None,
              compute_dtype="float32",
+             n_devices=None,
              log_fn=print):
     del dropout
 
@@ -217,6 +218,20 @@ def training(labels_dir,
     gen_opt_state = gen_opt.init(gen_params)
     disc_opt_state = disc_opt.init(disc_params)
 
+    # data-parallel mesh: batches shard over 'data', parameters replicate
+    # (gradient psums ride ICI, reference has no distributed analogue)
+    from ..parallel.mesh import make_data_mesh, replicate, shard_batch
+
+    if n_devices is None:
+        # never build a mesh wider than the batch (batch shards over 'data')
+        n_devices = max(1, min(len(jax.devices()), batchsize))
+    mesh = make_data_mesh(n_devices)
+    gen_params = replicate(mesh, gen_params)
+    gen_bs = replicate(mesh, gen_bs)
+    disc_params = replicate(mesh, disc_params)
+    gen_opt_state = replicate(mesh, gen_opt_state)
+    disc_opt_state = replicate(mesh, disc_opt_state)
+
     def disc_apply(p, x, mask=None):
         return disc_model.apply({"params": p}, x, mask)
 
@@ -310,12 +325,12 @@ def training(labels_dir,
             ratio = first_training_ratio if (epoch == 0 and step_i == 0) \
                 else training_ratio
             for _ in range(ratio):
-                batch = tuple(np.asarray(x) for x in next(inputs_gen))
+                batch = shard_batch(mesh, tuple(np.asarray(x) for x in next(inputs_gen)))
                 key, sub = jax.random.split(key)
                 disc_params, disc_opt_state, d_loss = disc_step(
                     gen_params, gen_bs, disc_params, disc_opt_state, sub, batch)
                 avg_d += float(d_loss) / (steps_per_epoch * ratio)
-            batch = tuple(np.asarray(x) for x in next(inputs_gen))
+            batch = shard_batch(mesh, tuple(np.asarray(x) for x in next(inputs_gen)))
             key, sub = jax.random.split(key)
             gen_params, gen_bs, gen_opt_state, g_loss = gen_step(
                 gen_params, gen_bs, disc_params, gen_opt_state, sub, batch)

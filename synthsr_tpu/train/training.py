@@ -367,6 +367,9 @@ def training(labels_dir,
     # ----- optimizer, mesh, step (reference :415-453) -----
     optimizer = make_optimizer(lr, lr_decay)
     opt_state = optimizer.init(params)
+    if n_devices is None:
+        # never build a mesh wider than the batch (batch shards over 'data')
+        n_devices = max(1, min(len(jax.devices()), batchsize))
     mesh = make_data_mesh(n_devices)
     params = replicate(mesh, params)
     batch_stats = replicate(mesh, batch_stats)

@@ -74,13 +74,13 @@ def test_adversarial_short_run(adv_dataset, tmp_path):
     out = training(
         labels_dir=lab_dir, images_dir=img_dir, model_dir=model_dir,
         prior_means=None, prior_stds=None, path_generation_labels=labels_npy,
-        prior_distributions="uniform", batchsize=1, input_channels=True,
+        prior_distributions="uniform", input_channels=True,
         output_channel=None, output_shape=16, randomise_res=True,
         n_levels=2, unet_feat_count=2, nb_conv_per_level=1,
         simulate_registration_error=False, loss_cropping=12,
         epochs=1, steps_per_epoch=2, first_training_ratio=2, training_ratio=1,
-        lr_generator=1e-3, lr_discriminator=1e-3, seed=0,
-        log_fn=lambda s: logs.append(s))
+        lr_generator=1e-3, lr_discriminator=1e-3, seed=0, batchsize=2,
+        n_devices=2, log_fn=lambda s: logs.append(s))
     assert np.isfinite(out["d_curve"][0]) and np.isfinite(out["g_curve"][0])
     assert os.path.isfile(os.path.join(model_dir, "generator_1.h5"))
     assert os.path.isfile(os.path.join(model_dir, "discriminator_1.h5"))
