@@ -89,13 +89,21 @@ def small_shape_for(shape, scale):
 def random_spatial_deformation(key, vols, methods, scaling_bounds=0.15,
                                rotation_bounds=15, shearing_bounds=0.012,
                                translation_bounds=False, enable_90_rotations=False,
-                               nonlin_std=3.0, nonlin_scale=0.0625, prob_deform=1.0):
+                               nonlin_std=3.0, nonlin_scale=0.0625, prob_deform=1.0,
+                               clip_svf_sigmas=4.0):
     """Jointly deform tensors with a random affine + integrated SVF.
 
     vols: list of (X, Y, Z, C); methods: per-tensor 'linear'/'nearest'.
     SVF: shape ceil(spatial·nonlin_scale), std ~ U(0, nonlin_std) (one scalar),
     resized to max(spatial//2, small), integrated 7 steps, resized to full
-    (reference :178-197)."""
+    (reference :178-197).
+
+    Deviation (documented, TPU perf): the sampled SVF is clipped to
+    ±clip_svf_sigmas·nonlin_std (P(|N|>4σ) ≈ 6e-5 per value), which gives a
+    static displacement bound so most squaring steps run as exact stencil
+    warps (ops/interp.integrate_vec) — ~5× faster than all-gather
+    integration. Set clip_svf_sigmas=None for reference-exact tails.
+    """
     spatial = vols[0].shape[:3]
     k_aff, k_std, k_svf, k_prob = jax.random.split(key, 4)
 
@@ -110,9 +118,13 @@ def random_spatial_deformation(key, vols, methods, scaling_bounds=0.15,
         small = small_shape_for(spatial, nonlin_scale)
         std = jax.random.uniform(k_std, (1, 1), maxval=nonlin_std)
         svf = jax.random.normal(k_svf, (*small, 3)) * std[0, 0]
+        bound = None
+        if clip_svf_sigmas is not None:
+            bound = float(clip_svf_sigmas) * float(nonlin_std)
+            svf = jnp.clip(svf, -bound, bound)
         half = tuple(max(int(spatial[i] / 2), small[i]) for i in range(3))
         svf = interp.resize(svf, half, method="linear")
-        svf = interp.integrate_vec(svf, nb_steps=7)
+        svf = interp.integrate_vec(svf, nb_steps=7, max_displacement=bound)
         svf = interp.resize(svf, spatial, method="linear")
 
     if apply_affine:

@@ -184,3 +184,25 @@ def test_pallas_conv3d_matches_xla(rng):
         xl, jnp.asarray(w), (1, 1, 1), "SAME",
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))[0]), (3, 0, 1, 2))
     np.testing.assert_allclose(ours, oracle, atol=1e-5)
+
+
+def test_stencil_warp_equals_gather_warp(rng):
+    """For |shift| <= radius the stencil warp must equal transform() exactly,
+    including at volume edges (clip == edge-padding equivalence)."""
+    vol = jnp.asarray(rng.normal(size=(12, 13, 14, 2)).astype(np.float32))
+    for radius in (1, 2):
+        shift = jnp.asarray(rng.uniform(-radius, radius,
+                                        size=(12, 13, 14, 3)).astype(np.float32))
+        a = np.asarray(interp.transform(vol, shift, "linear"))
+        b = np.asarray(interp.stencil_warp(vol, shift, radius))
+        np.testing.assert_allclose(a, b, atol=1e-4)
+
+
+def test_integrate_vec_stencil_matches_gather(rng):
+    """Bounded-field integration via the stencil schedule is identical to the
+    all-gather reference path."""
+    vec = jnp.asarray(np.clip(rng.normal(0, 2.0, size=(16, 16, 16, 3)), -8, 8)
+                      .astype(np.float32))
+    a = np.asarray(interp.integrate_vec(vec, nb_steps=7))
+    b = np.asarray(interp.integrate_vec(vec, nb_steps=7, max_displacement=8.0))
+    np.testing.assert_allclose(a, b, atol=2e-4)
