@@ -18,12 +18,17 @@ dynamically sliced (slice refs via pl.ds), dynamic sublane starts must be
 reshapes need 128-aligned lanes (hence 3-D patches and exact-shape writes),
 DMA slices need 128-aligned minor dims (hence W padded to a 128 multiple).
 
-STATUS: experimental — correct (interpret-mode oracle test) and 2.6x faster
-than XLA's conv standalone at 256³ 24ch bf16 (85ms vs 225ms net of transport),
-but NOT yet wired into UNet3D: the per-conv channels-first transposes and
-jnp.pad copies blow HBM at 256³ in-context (10.7x padding expansion).
-Finishing it needs in-kernel boundary handling (drop the host-side pad) and a
-channels-first network so transposes happen once per model, not per conv.
+STATUS: experimental — correct (interpret-mode oracle + TPU-vs-XLA check) and
+2.6x faster than XLA's conv standalone at 256³ 24ch bf16 (85ms vs 225ms net of
+transport). models/unet_cf.py wires it into a full channels-first inference
+forward that is exact in f32 and runs on TPU at 128³; at 256³ XLA's
+alternate-memory (VMEM-prefetch) pass tries to stage whole custom-call
+outputs that double as U-Net skips in VMEM ("allocating on stack ...
+bf16[24,65536,256]") and OOMs — standalone chains of the same convs compile
+fine, optimization_barrier / HBM input specs / executable splitting do not
+dissuade it, and with_memory_space_constraint avals don't survive reshape.
+Next lever: write skips through a pallas identity kernel with HBM out-spec or
+an XLA MSA opt-out flag.
 """
 
 from __future__ import annotations
@@ -83,7 +88,7 @@ def conv3d_cf(x, w, block_h: int = 8, interpret: bool = False):
                           w_out=wdim),
         grid=(d, n_hb),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),   # padded input in HBM
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),  # stay in HBM
             pl.BlockSpec(memory_space=pltpu.VMEM),  # (cout, 27*cin) weights
         ],
         out_specs=pl.BlockSpec((cout, th, wdim),

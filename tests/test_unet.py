@@ -203,3 +203,32 @@ def test_write_model_summary(tmp_path):
     assert total > 0
     text = open(p).read()
     assert "Total parameters" in text and "conv_downarm_0_0" in text
+
+
+def test_fast_cf_forward_matches_flax():
+    """Channels-first fast inference path (models/unet_cf.py) equals the flax
+    forward exactly in f32, including the two-executable split."""
+    from synthsr_tpu.models.unet_cf import fast_unet_forward
+
+    model = synthsr_unet(compute_dtype=jnp.float32)
+    variables, _ = _init(model)
+    rng = np.random.default_rng(5)
+    variables["params"] = jax.tree.map(
+        lambda p: jnp.asarray(rng.normal(size=p.shape, scale=0.05)
+                              .astype(np.float32)), variables["params"])
+    variables["batch_stats"] = {
+        l: {"mean": jnp.asarray(rng.normal(size=t["mean"].shape, scale=0.05)
+                                .astype(np.float32)),
+            "var": jnp.asarray(rng.uniform(0.5, 1.5, size=t["var"].shape)
+                               .astype(np.float32))}
+        for l, t in variables["batch_stats"].items()}
+    x = jnp.asarray(rng.normal(size=(1, 32, 32, 128, 1)).astype(np.float32))
+    a = np.asarray(model.apply(variables, x))
+    b = np.asarray(fast_unet_forward(model, variables, x, interpret=True,
+                                     dtype=jnp.float32))
+    np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-4)
+    st = fast_unet_forward(model, variables, x, interpret=True,
+                           dtype=jnp.float32, stop_before_level=3)
+    c = np.asarray(fast_unet_forward(model, variables, None, interpret=True,
+                                     dtype=jnp.float32, resume_state=st))
+    np.testing.assert_allclose(a, c, rtol=2e-4, atol=1e-4)
