@@ -18,6 +18,14 @@ import jax
 # The axon TPU plugin in this image overrides JAX_PLATFORMS; force via config.
 jax.config.update("jax_platforms", "cpu")
 
+# The suite is compile-dominated (~30 min cold); persist compiled executables
+# so repeat runs amortize the jit cost.
+try:
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
+
 import numpy as np
 import pytest
 
