@@ -101,7 +101,7 @@ def conv3d_cf(x, w, block_h: int = 8, interpret: bool = False):
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),  # stay in HBM
             pl.BlockSpec(memory_space=pltpu.VMEM),  # (cout, 27*cin) weights
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         out_shape=jax.ShapeDtypeStruct((cout, d * h, wdim), x.dtype),
         scratch_shapes=[
             pltpu.VMEM((cin, 3, th + 8, wp), x.dtype),
