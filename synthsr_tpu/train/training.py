@@ -104,14 +104,26 @@ def build_seg_loss_fn(seg_model, seg_variables, generation_labels,
 
 def make_train_step(model, generate_fn, optimizer, metrics="l1", loss_cropping=16,
                     residual_indices=None, use_real_image=False, seg_loss_fn=None,
-                    seg_rel_weight=0.25, return_labels_to_loss=False):
+                    seg_rel_weight=0.25, return_labels_to_loss=False,
+                    remat=False):
     """Build the jitted train step: (state, key, batch) -> (state, loss).
 
     state = (params, batch_stats, opt_state). batch = (labels, means, stds
     [, real]) with leading batch axis; generation runs inside the step.
+
+    ``remat``: rematerialize the U-Net in the backward pass (jax.checkpoint)
+    — trades ~1 extra forward for dropping all its activations from HBM,
+    which is what lets batch > 1 fit at 128³ on a 16G chip.
     """
 
     returns_labels = seg_loss_fn is not None
+
+    def apply_net(p, bs_, image):
+        return model.apply({"params": p, "batch_stats": bs_}, image,
+                           train=True, mutable=["batch_stats"])
+
+    if remat:
+        apply_net = jax.checkpoint(apply_net)
 
     def step(params, batch_stats, opt_state, key, batch):
         bs = batch[0].shape[0]
@@ -125,8 +137,7 @@ def make_train_step(model, generate_fn, optimizer, metrics="l1", loss_cropping=1
             seg_target = None
 
         def loss_fn(p):
-            out, updates = model.apply({"params": p, "batch_stats": batch_stats},
-                                       image, train=True, mutable=["batch_stats"])
+            out, updates = apply_net(p, batch_stats, image)
             loss = regression_loss(out, image, target, metrics=metrics,
                                    loss_cropping=loss_cropping,
                                    work_with_residual_channel=residual_indices)
@@ -241,6 +252,7 @@ def training(labels_dir,
              n_devices=None,
              seed=None,
              compute_dtype="bfloat16",
+             remat=None,
              log_fn=print):
     """Train the SR/synthesis U-Net on on-device synthetic pairs."""
     del dropout  # reference passes conv_dropout=0 in every config
@@ -375,13 +387,17 @@ def training(labels_dir,
     batch_stats = replicate(mesh, batch_stats)
     opt_state = replicate(mesh, opt_state)
 
+    if remat is None:
+        remat = False  # whole-net checkpoint alone doesn't fit batch 2 at
+        # 128³ on 16G; per-level remat is the round-2 follow-up
     train_step = make_train_step(model, generate_fn, optimizer,
                                  metrics=regression_metric,
                                  loss_cropping=loss_cropping,
                                  residual_indices=residual_indices,
                                  use_real_image=use_real,
                                  seg_loss_fn=seg_loss_fn,
-                                 seg_rel_weight=relative_weight_segmentation)
+                                 seg_rel_weight=relative_weight_segmentation,
+                                 remat=remat)
 
     # resume (reference :434-439: epoch parsed from checkpoint filename)
     init_epoch = 0
