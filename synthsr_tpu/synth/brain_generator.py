@@ -27,7 +27,7 @@ class BrainGenerator:
                  labels_dir,
                  prior_means,
                  prior_stds,
-                 prior_distributions="uniform",
+                 prior_distributions="normal",
                  generation_labels=None,
                  images_dir=None,
                  n_neutral_labels=None,

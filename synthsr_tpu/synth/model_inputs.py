@@ -21,7 +21,7 @@ from ..utils.misc import draw_value_from_distribution
 
 
 def build_model_inputs(path_label_maps, n_labels, prior_means, prior_stds,
-                       prior_distributions="uniform", path_images=None,
+                       prior_distributions="normal", path_images=None,
                        batchsize=1, n_channels=1, generation_classes=None,
                        rng: np.random.Generator | None = None,
                        use_specific_stats_for_channel=None):
