@@ -24,6 +24,7 @@ from typing import Any, Optional, Sequence
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 
 def upsample_nearest(x: jnp.ndarray, factor=2) -> jnp.ndarray:
@@ -94,6 +95,11 @@ class UNet3D(nn.Module):
                 x = act(x)
             # decoder skips tap the conv output; BN feeds only the pooled path
             # (Keras wires cat_tensor to the conv layer's output, models.py:430-434)
+            # level-boundary tags: no-ops unless a surrounding jax.checkpoint
+            # uses save_only_these_names (per-level rematerialization — the
+            # backward pass then recomputes one level's convs at a time
+            # instead of holding every activation in HBM)
+            x = checkpoint_name(x, f"unet_skip_{level}")
             skips[level] = x
             if self.use_batch_norm:
                 x = self._bn(f"bn_down_{level}", train)(x)
@@ -115,6 +121,7 @@ class UNet3D(nn.Module):
                 x = act(x)
             if self.use_batch_norm:
                 x = self._bn(f"bn_up_{level}", train)(x)
+            x = checkpoint_name(x, f"unet_dec_{level}")
 
         x = nn.Conv(self.nb_labels, (1, 1, 1), padding="SAME", dtype=jnp.float32,
                     param_dtype=jnp.float32, name="likelihood")(x)

@@ -39,12 +39,11 @@ def _maxpool_cf(x):
                                  (1, 2, 2, 2), "SAME")
 
 
-def _conv_cf(p, x, block_h, interpret=False):
+def _conv_cf(p, x, interpret=False):
     # optimization barriers keep XLA from folding the pallas output into
     # VMEM-resident fusions (full-graph scheduling OOMs otherwise)
     x = jax.lax.optimization_barrier(x)
-    y = conv3d_cf(x, p["kernel"].astype(x.dtype), block_h=block_h,
-                  interpret=interpret)
+    y = conv3d_cf(x, p["kernel"].astype(x.dtype), interpret=interpret)
     y = jax.lax.optimization_barrier(y)
     return y + p["bias"].astype(y.dtype).reshape(-1, 1, 1, 1)
 
@@ -58,7 +57,7 @@ def _conv_cl(p, x):
 
 def _pallas_ok(cin, spatial):
     # W >= 128 for lane efficiency, H divisible by the block, VMEM-bounded
-    # patch matrix (27*cin x block_h x W in bf16 must stay well under 16M)
+    # patch matrix (9*cin x block_h x W in bf16 must stay well under VMEM)
     return (cin <= 96 and spatial[2] >= 128 and spatial[1] % 16 == 0
             and cin * spatial[2] <= 96 * 256)
 
@@ -99,8 +98,7 @@ def fast_unet_forward(model: UNet3D, variables, x, interpret=False,
                 xx = jnp.transpose(xx, (1, 2, 3, 0))[None]
                 cf = False
             if cf:
-                xx = act(_conv_cf(p, xx, block_h=16 if cin <= 48 else 8,
-                                  interpret=interpret))
+                xx = act(_conv_cf(p, xx, interpret=interpret))
             else:
                 xx = act(_conv_cl(p, xx))
         skips[level] = (xx, cf)
@@ -141,8 +139,7 @@ def fast_unet_forward(model: UNet3D, variables, x, interpret=False,
                 xx = jnp.transpose(xx, (1, 2, 3, 0))[None]
                 cf = False
             if cf:
-                xx = act(_conv_cf(p, xx, block_h=16 if cin <= 48 else 8,
-                                  interpret=interpret))
+                xx = act(_conv_cf(p, xx, interpret=interpret))
             else:
                 xx = act(_conv_cl(p, xx))
         bnp, bns = params[f"bn_up_{level}"], stats[f"bn_up_{level}"]

@@ -4,35 +4,38 @@ XLA's conv on TPU places output channels on the 128-lane axis, so the
 24-feature U-Net runs at ≤24/128 of MXU throughput (measured ~10 TFLOPs at
 24ch vs ~130 TFLOPs at 128ch).  This kernel transposes the problem: channels
 live on the 8-sublane axis (24 = 3·8, no padding) and SPATIAL positions on
-the lane axis — out^T (C_out, S) = W^T (C_out, 27·C_in) @ patches (27·C_in, S)
-— recovering MXU utilization for small C.
+the lane axis — out^T (C_out, S) = W^T (C_out, 9·C_in) @ patches (9·C_in, S),
+accumulated over the 3 z-taps — recovering MXU utilization for small C.
 
 Layout: channels-first (C, D, H, W); SAME zero padding; stride 1; 3³ kernels.
-Grid is (D, H/block_h); each step DMAs a (C, 3, block_h+8, Wp) slab from HBM,
-builds the 27-tap patch matrix with aligned dynamic loads + static register
-shifts, and runs one MXU dot per H row.
+Grid is (D/block_d, H/block_h); each step processes a (C_out, block_d,
+block_h, W) output block:
+
+- the input slab (C, block_d+2, block_h+8, Wp) is DOUBLE-BUFFERED: step i
+  prefetches step i+1's slab while computing, hiding the DMA latency of the
+  many small strided chunks (serial per-step DMA measured ~5x slower than
+  the MXU dots it feeds);
+- multi-plane blocks (block_d > 1) amortize the z-halo: 3 planes loaded per
+  output plane at block_d=1 vs 1.5 at block_d=4;
+- per output plane, the 9-tap patch matrix of each z-plane is built with
+  aligned loads + static register shifts and hit with one wide MXU dot
+  (N = block_h·W; per-row dots at N=W wasted ~3x on tile overheads),
+  accumulated in f32;
+- the z-chunked (9-tap) patch matrix keeps scratch 3x smaller than a 27-tap
+  one — the full-tap version overflowed the 16M scoped-VMEM default at
+  C_in = 72 (the decoder concat conv), which was the round-1 "256³
+  blockade".
 
 Mosaic constraints baked in (each cost a compile attempt): values can't be
 dynamically sliced (slice refs via pl.ds), dynamic sublane starts must be
 8-aligned (hence the +8 H padding and static dy shifts), flattens/implicit
-reshapes need 128-aligned lanes (hence 3-D patches and exact-shape writes),
-DMA slices need 128-aligned minor dims (hence W padded to a 128 multiple).
+reshapes need 128-aligned lane dims (hence the W % 128 gate on the wide-dot
+path), DMA memref slices need 128-aligned minor dims (hence W padded to a
+128 multiple).
 
-STATUS: experimental — correct (interpret-mode oracle + TPU-vs-XLA check) and
-2.6x faster than XLA's conv standalone at 256³ 24ch bf16 (85ms vs 225ms net of
-transport). models/unet_cf.py wires it into a full channels-first inference
-forward that is exact in f32 and runs on TPU at 128³; at 256³ XLA's
-alternate-memory (VMEM-prefetch) pass tries to stage whole custom-call
-outputs that double as U-Net skips in VMEM ("allocating on stack ...
-bf16[24,65536,256]") and OOMs — standalone chains of the same convs compile
-fine, optimization_barrier / HBM input specs / executable splitting do not
-dissuade it, and with_memory_space_constraint avals don't survive reshape.
-The kernel's output is now written by manual DMA from a VMEM staging buffer
-to a trivially-specced HBM output (same speed as the BlockSpec version), yet
-the full-graph VMEM mis-allocation persists; small repros (pallas chains,
-long-lived skips across pools, cin=1 first conv) all compile clean, so the
-trigger needs the complete network. Next lever: bisect the real graph
-per-level in separate executables, or XLA alternate-memory opt-out flags.
+Used by models/unet_cf.py for the fast channels-first inference forward; the
+predict bench runs through it.  Correctness: interpret-mode oracle vs
+jax.lax.conv (tests/test_ops_core.py) + TPU-vs-XLA bf16 check.
 """
 
 from __future__ import annotations
@@ -46,70 +49,158 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(x_hbm, w_ref, out_hbm, slab, patches, out_buf, sem, osem, *, cin,
-            cout, wp, th, w_out, n_hb):
-    d = pl.program_id(0)
-    hb = pl.program_id(1)
-    h0 = pl.multiple_of(hb * th, 8)
-    cp = pltpu.make_async_copy(
-        x_hbm.at[:, pl.ds(d, 3), pl.ds(h0, th + 8)], slab, sem)
-    cp.start()
-    cp.wait()
-
-    for tap in range(27):
-        dz, rem = divmod(tap, 9)
-        dy, dx = divmod(rem, 3)
-        u = slab[:, dz, :, dx:dx + w_out]       # (C, th+8, W) aligned load
-        patches[tap * cin:(tap + 1) * cin, :, :] = u[:, dy:dy + th, :]
-
-    rows = [jax.lax.dot_general(
-        w_ref[:], patches[:, r, :],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32) for r in range(th)]
-    out_buf[:, :, :] = jnp.stack(rows, axis=1).astype(out_buf.dtype)
-    # manual DMA of the result block: the output lives in HBM with a trivial
-    # spec, keeping XLA's alternate-memory pass away from it entirely
-    row0 = (d * n_hb + hb) * th
-    ocp = pltpu.make_async_copy(out_buf, out_hbm.at[:, pl.ds(row0, th)], osem)
-    ocp.start()
-    ocp.wait()
+def pick_blocks(cin, cout, d, h, w, budget=12 * 2 ** 20):
+    """(block_d, block_h) whose kernel scratch (double-buffered slab +
+    patches + f32 acc + out) fits comfortably in scoped VMEM."""
+    wp = ((w + 2 + 127) // 128) * 128
+    for td, th in ((4, 32), (4, 16), (2, 32), (2, 16), (4, 8), (2, 8),
+                   (1, 16), (1, 8)):
+        if d % td or h % th:
+            continue
+        need = (2 * cin * (td + 2) * (th + 8) * wp * 2    # slab x2
+                + 9 * cin * th * w * 2                    # patches
+                + cout * th * w * 4                       # f32 acc
+                + cout * td * th * w * 2)                 # out block
+        if need <= budget:
+            return td, th
+    return 1, 8
 
 
-@functools.partial(jax.jit, static_argnames=("block_h", "interpret"))
-def conv3d_cf(x, w, block_h: int = 8, interpret: bool = False):
+def _kernel(x_hbm, w_ref, out_hbm, slab, patches, acc, obuf, isem, osem, *,
+            cin, cout, wp, td, th, w_out, n_db, n_hb):
+    # The grid is over PAIRS of output blocks so both double-buffer slots are
+    # indexed STATICALLY (a traced slot index turns every slab access into a
+    # whole-buffer dynamic-slice copy — measured 10x slower).
+    i = pl.program_id(0)
+    nsteps = n_db * n_hb
+
+    def indices(flat):
+        return flat // n_hb, jax.lax.rem(flat, n_hb)
+
+    def in_dma(slot, flat):
+        db, hb = indices(flat)
+        h0 = pl.multiple_of(hb * th, 8)
+        return pltpu.make_async_copy(
+            x_hbm.at[:, pl.ds(db * td, td + 2), pl.ds(h0, th + 8)],
+            slab.at[slot], isem.at[slot])
+
+    def out_dma(slot, flat):
+        db, hb = indices(flat)
+        h0 = pl.multiple_of(hb * th, 8)
+        return pltpu.make_async_copy(
+            obuf.at[slot],
+            out_hbm.at[:, pl.ds(db * td, td), pl.ds(h0, th)], osem.at[slot])
+
+    @pl.when(i == 0)
+    def _():
+        in_dma(0, 0).start()
+        if nsteps > 1:
+            in_dma(1, 1).start()
+
+    def process(slot, flat):
+        in_dma(slot, flat).wait()
+        # this slot's staging buffer is free once the out-copy issued two
+        # blocks ago (same slot, previous pair) has drained
+        @pl.when(flat >= 2)
+        def _():
+            out_dma(slot, flat - 2).wait()
+
+        for dp in range(td):
+            for dz in range(3):
+                for tap in range(9):
+                    dy, dx = divmod(tap, 3)
+                    u = slab[slot, :, dp + dz, :, dx:dx + w_out]
+                    patches[tap * cin:(tap + 1) * cin, :, :] = \
+                        u[:, dy:dy + th, :]
+                if w_out % 128 == 0:
+                    # one wide MXU dot per z-plane: N = th·W
+                    p2 = patches[:].reshape(9 * cin, th * w_out)
+                    contrib = jax.lax.dot_general(
+                        w_ref[dz], p2,
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    ).reshape(cout, th, w_out)
+                else:
+                    rows = [jax.lax.dot_general(
+                        w_ref[dz], patches[:, r, :],
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                        for r in range(th)]
+                    contrib = jnp.stack(rows, axis=1)
+                if dz == 0:
+                    acc[:, :, :] = contrib
+                else:
+                    acc[:, :, :] = acc[:, :, :] + contrib
+            obuf[slot, :, dp, :, :] = acc[:, :, :].astype(obuf.dtype)
+
+        out_dma(slot, flat).start()
+        # prefetch this slot's next input (two blocks ahead)
+        @pl.when(flat + 2 < nsteps)
+        def _():
+            in_dma(slot, flat + 2).start()
+
+    flat0 = 2 * i
+    process(0, flat0)
+    if nsteps > 1:
+        @pl.when(flat0 + 1 < nsteps)
+        def _():
+            process(1, flat0 + 1)
+
+    # drain the final out-copies before the kernel ends
+    @pl.when(i == pl.num_programs(0) - 1)
+    def _():
+        out_dma(0, flat0).wait()
+        if nsteps > 1:
+            @pl.when(flat0 + 1 < nsteps)
+            def _():
+                out_dma(1, flat0 + 1).wait()
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("block_d", "block_h", "interpret"))
+def conv3d_cf(x, w, block_d: int | None = None, block_h: int | None = None,
+              interpret: bool = False):
     """SAME 3³ conv, channels-first.
 
     x: (C_in, D, H, W); w: (3, 3, 3, C_in, C_out) (DHWIO, as flax).
-    Returns (C_out, D, H, W) in x.dtype.
+    Returns (C_out, D, H, W) in x.dtype.  Block sizes are auto-picked for
+    VMEM unless given.
     """
     cin, d, h, wdim = x.shape
     cout = w.shape[-1]
     assert w.shape[:3] == (3, 3, 3)
-    assert h % block_h == 0, f"H={h} must be divisible by block_h={block_h}"
-    assert block_h % 8 == 0, "block_h must be a multiple of 8"
+    auto_td, auto_th = pick_blocks(cin, cout, d, h, wdim)
+    td = block_d if block_d is not None else auto_td
+    th = block_h if block_h is not None else auto_th
+    assert d % td == 0, f"D={d} must be divisible by block_d={td}"
+    assert h % th == 0, f"H={h} must be divisible by block_h={th}"
+    assert th % 8 == 0, "block_h must be a multiple of 8"
     wp = ((wdim + 2 + 127) // 128) * 128
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 7), (1, wp - wdim - 1)))
-    wt = jnp.transpose(w.reshape(27 * cin, cout), (1, 0))  # (cout, 27*cin)
+    # (3, cout, 9*cin): one weight slab per z-tap, rows (dy*3+dx)*cin + ci
+    wt = jnp.transpose(w.reshape(3, 9 * cin, cout), (0, 2, 1))
 
-    th = block_h
-    n_hb = h // th
+    n_db, n_hb = d // td, h // th
     out = pl.pallas_call(
-        functools.partial(_kernel, cin=cin, cout=cout, wp=wp, th=th,
-                          w_out=wdim, n_hb=n_hb),
-        grid=(d, n_hb),
+        functools.partial(_kernel, cin=cin, cout=cout, wp=wp, td=td, th=th,
+                          w_out=wdim, n_db=n_db, n_hb=n_hb),
+        grid=((n_db * n_hb + 1) // 2,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),  # stay in HBM
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # (cout, 27*cin) weights
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # (3, cout, 9*cin) weights
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
-        out_shape=jax.ShapeDtypeStruct((cout, d * h, wdim), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((cout, d, h, wdim), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((cin, 3, th + 8, wp), x.dtype),
-            pltpu.VMEM((27 * cin, th, wdim), x.dtype),
-            pltpu.VMEM((cout, th, wdim), x.dtype),
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, cin, td + 2, th + 8, wp), x.dtype),
+            pltpu.VMEM((9 * cin, th, wdim), x.dtype),
+            pltpu.VMEM((cout, th, wdim), jnp.float32),
+            pltpu.VMEM((2, cout, td, th, wdim), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(xp, wt.astype(x.dtype))
-    return out.reshape(cout, d, h, wdim)
+    return out

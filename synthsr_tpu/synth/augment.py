@@ -296,7 +296,8 @@ def gaussian_blur(x, sigma, key=None, blur_range=None, max_sigma=None):
 # ---------------------------------------------------------------------------
 
 def mimic_acquisition(x, resolution, volume_res, resample_shape,
-                      build_dist_map=False, min_subsample_res=None):
+                      build_dist_map=False, min_subsample_res=None,
+                      noise_std=0.0, prob_noise=0.95, key=None):
     """Simulate LR acquisition: NN-downsample to the (traced) acquisition grid
     then linear re-upsample to ``resample_shape``.
 
@@ -304,6 +305,19 @@ def mimic_acquisition(x, resolution, volume_res, resample_shape,
     maximum (inshape·volume_res/min_subsample_res — the reference does the
     same, :920-927) and both resamplings become per-axis matrices composed on
     the MXU.  ``resolution``: traced (3,) in mm.
+
+    Edge semantics (verified reference-exact by the literal-transcription
+    sweep in tests/test_augment.py): the reference's up-interpn reads the
+    STATIC-size down tensor, whose rows beyond the traced ``down_d`` hold
+    edge-replicated x[in_d-1] (nearest clip, :946-951), with coords clipped
+    to static-1 — NOT to down_d-1 (neuron utils.py:70-80).  Our up-clip to
+    ``down_static-1`` reproduces exactly that.
+
+    ``noise_std`` > 0 (requires ``key``) adds Gaussian noise on the
+    acquisition grid before re-upsampling, with per-channel std ~
+    U(0, noise_std), applied with probability ``prob_noise`` (reference
+    :876,953-961); unused by the SynthSR model itself but part of the layer
+    surface.
     """
     spatial = x.shape[:3]
     volume_res = np.asarray(volume_res, np.float32)
@@ -314,6 +328,7 @@ def mimic_acquisition(x, resolution, volume_res, resample_shape,
     resolution = jnp.asarray(resolution, jnp.float32)
 
     mats = []
+    dmats, umats = [], []
     dist_axes = []
     for d in range(3):
         in_d = spatial[d]
@@ -329,6 +344,8 @@ def mimic_acquisition(x, resolution, volume_res, resample_shape,
         u = jnp.arange(resample_shape[d], dtype=jnp.float32)
         up_coords = jnp.clip(u / up_zoom, 0.0, down_static[d] - 1.0)
         umat = linops.sample_matrix(up_coords, down_static[d], method="linear")
+        dmats.append(dmat)
+        umats.append(umat)
         mats.append(jnp.einsum("ud,di->ui", umat, dmat,
                                preferred_element_type=jnp.float32,
                                precision=jax.lax.Precision.HIGHEST))
@@ -338,7 +355,21 @@ def mimic_acquisition(x, resolution, volume_res, resample_shape,
             dist_axes.append(jnp.minimum(up_coords - floor, ceil - up_coords)
                              * resolution[d])
 
-    out = linops.apply_axis_ops(x, mats)
+    if noise_std > 0:
+        assert key is not None, "noise_std > 0 requires a key"
+        # noise lives on the acquisition grid (ref :953-961), so the down
+        # tensor must materialize; per-channel std ~ U(0, noise_std)
+        k_std, k_noise, k_coin = jax.random.split(key, 3)
+        down = linops.apply_axis_ops(x, dmats)
+        std = jax.random.uniform(k_std, (1, 1, 1, x.shape[-1]),
+                                 maxval=noise_std)
+        noise = std * jax.random.normal(k_noise, down.shape)
+        take = (jax.random.uniform(k_coin, ()) < prob_noise) \
+            if prob_noise < 1 else True
+        down = jnp.where(take, down + noise, down)
+        out = linops.apply_axis_ops(down, umats)
+    else:
+        out = linops.apply_axis_ops(x, mats)
     if not build_dist_map:
         return out
     dist = jnp.sqrt(dist_axes[0][:, None, None] ** 2

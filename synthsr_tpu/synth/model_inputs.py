@@ -24,13 +24,18 @@ def build_model_inputs(path_label_maps, n_labels, prior_means, prior_stds,
                        prior_distributions="normal", path_images=None,
                        batchsize=1, n_channels=1, generation_classes=None,
                        rng: np.random.Generator | None = None,
-                       use_specific_stats_for_channel=None):
+                       use_specific_stats_for_channel=None,
+                       include_gmm_params=True):
     """Infinite generator of model inputs (lists stacked to batch arrays).
 
     ``use_specific_stats_for_channel``: None = SynthSR semantics (a 2n-row
     prior array MUST have one 2-row block per channel, model_inputs.py:105-116);
     True = same but as the lab2im option (image_generator.py); False = lab2im
-    default, a random modality block is drawn per channel."""
+    default, a random modality block is drawn per channel.
+
+    ``include_gmm_params=False`` yields only (labels[, image]) — for the
+    on-device-draw training path (synth/sampling.make_gmm_sampler), where the
+    host pipeline streams label maps and nothing else."""
     _ = get_volume_info(path_label_maps[0])  # validates the first map
 
     if generation_classes is None:
@@ -49,6 +54,8 @@ def build_model_inputs(path_label_maps, n_labels, prior_means, prior_stds,
             if path_images is not None:
                 im = load_volume(path_images[idx], dtype="float", aff_ref=np.eye(4))
                 list_images.append(im[None, ..., None])
+            if not include_gmm_params:
+                continue
 
             means = np.empty((1, n_labels, 0))
             stds = np.empty((1, n_labels, 0))
@@ -78,9 +85,10 @@ def build_model_inputs(path_label_maps, n_labels, prior_means, prior_stds,
             list_means.append(means)
             list_stds.append(stds)
 
-        inputs = [np.concatenate(list_label_maps, 0).astype(np.int32),
-                  np.concatenate(list_means, 0).astype(np.float32),
-                  np.concatenate(list_stds, 0).astype(np.float32)]
+        inputs = [np.concatenate(list_label_maps, 0).astype(np.int32)]
+        if include_gmm_params:
+            inputs += [np.concatenate(list_means, 0).astype(np.float32),
+                       np.concatenate(list_stds, 0).astype(np.float32)]
         if path_images is not None:
             inputs.append(np.concatenate(list_images, 0).astype(np.float32))
         yield inputs

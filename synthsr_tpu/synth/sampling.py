@@ -68,3 +68,54 @@ def draw_traced(key, hyperparameter, size=1, distribution="uniform", centre=0.0,
 def bernoulli(key, prob):
     """Scalar coin with the reference's tf.less(uniform, prob) convention."""
     return jax.random.uniform(key, ()) < prob
+
+
+def make_gmm_sampler(n_labels, prior_means, prior_stds,
+                     prior_distributions="normal", n_channels=1,
+                     generation_classes=None,
+                     use_specific_stats_for_channel=None):
+    """Traced twin of the host GMM prior draws in synth/model_inputs.py:53-77
+    (reference SynthSR/model_inputs.py:103-125): returns a per-sample
+    ``key -> (means, stds)`` fn, each (n_labels, n_channels) float32, for use
+    inside the jitted train step (on-device generation, SURVEY.md §7).
+
+    Semantics mirror build_model_inputs: per-channel 2-row prior blocks when
+    ``use_specific_stats_for_channel`` is None/True (SynthSR requires one
+    block per channel), random modality block otherwise; class draws expanded
+    to labels via ``generation_classes``; positive-clipped; hyperprior
+    defaults mean 125±100 / std 15±10."""
+    prior_means = load_array_if_path(prior_means, load_as_numpy=True)
+    prior_stds = load_array_if_path(prior_stds, load_as_numpy=True)
+    if generation_classes is None:
+        generation_classes = np.arange(n_labels)
+    generation_classes = np.asarray(
+        load_array_if_path(generation_classes, load_as_numpy=True), np.int32)
+    n_classes = len(np.unique(generation_classes))
+    per_channel = use_specific_stats_for_channel in (None, True)
+    if per_channel:
+        for arr in (prior_means, prior_stds):
+            if isinstance(arr, np.ndarray) and arr.shape[0] / 2 != n_channels:
+                raise ValueError("the number of blocks in the prior array "
+                                 "does not match n_channels")
+
+    def channel_block(arr, channel):
+        if isinstance(arr, np.ndarray) and per_channel:
+            return arr[2 * channel: 2 * channel + 2, :]
+        return arr
+
+    def sample(key):
+        means, stds = [], []
+        for channel in range(n_channels):
+            key, km, ks = jax.random.split(key, 3)
+            cls_means = draw_traced(
+                km, channel_block(prior_means, channel), n_classes,
+                prior_distributions, 125.0, 100.0, positive_only=True)
+            cls_stds = draw_traced(
+                ks, channel_block(prior_stds, channel), n_classes,
+                prior_distributions, 15.0, 10.0, positive_only=True)
+            means.append(cls_means[generation_classes])
+            stds.append(cls_stds[generation_classes])
+        return (jnp.stack(means, axis=-1).astype(jnp.float32),
+                jnp.stack(stds, axis=-1).astype(jnp.float32))
+
+    return sample

@@ -235,7 +235,23 @@ def training(labels_dir,
     def disc_apply(p, x, mask=None):
         return disc_model.apply({"params": p}, x, mask)
 
+    # GMM prior draws run on device inside both steps (as in supervised
+    # training); the host pipeline streams only label maps + real images
+    from ..synth.sampling import make_gmm_sampler
+
+    gmm_sampler = make_gmm_sampler(
+        n_labels=len(generation_labels),
+        prior_means=brain_generator.prior_means,
+        prior_stds=brain_generator.prior_stds,
+        prior_distributions=prior_distributions,
+        n_channels=brain_generator.n_channels,
+        generation_classes=brain_generator.generation_classes)
+
     def _generate(key, batch):
+        key, k_gmm = jax.random.split(key)
+        means, stds = jax.vmap(gmm_sampler)(
+            jax.random.split(k_gmm, batch[0].shape[0]))
+        batch = (batch[0], means, stds) + tuple(batch[1:])
         keys = jax.random.split(key, batch[0].shape[0])
         args = (keys,) + tuple(batch)
         out = jax.vmap(generate_fn)(*args)
@@ -312,15 +328,58 @@ def training(labels_dir,
                 new_state, loss)
 
     # ----- training loop (reference :444-479) -----
-    inputs_gen = brain_generator.model_inputs_generator
+    from ..synth.model_inputs import build_model_inputs
+    from ..utils.prefetch import PrefetchIterator
+
+    labels_only_gen = build_model_inputs(
+        path_label_maps=brain_generator.labels_paths,
+        n_labels=len(generation_labels),
+        prior_means=brain_generator.prior_means,
+        prior_stds=brain_generator.prior_stds,
+        path_images=brain_generator.images_paths,
+        batchsize=batchsize,
+        rng=brain_generator._rng if seed is not None else None,
+        include_gmm_params=False)
+    inputs_gen = PrefetchIterator(labels_only_gen, buffer_size=4)
     log_dir = os.path.join(model_dir, "logs")
     os.makedirs(log_dir, exist_ok=True)
     key = jax.random.PRNGKey(seed if seed is not None else 0)
     d_curve, g_curve = [], []
     le = len(str(epochs))
-    for epoch in range(epochs):
+
+    # resume: a killed fine-tune restarts at its epoch with optimizer state
+    # (the reference restarts only from per-epoch .h5 weight saves, :471-479)
+    init_epoch = 0
+    last = latest_adv_checkpoint(model_dir)
+    if last is not None:
+        template = {
+            "gen_params": jax.device_get(gen_params),
+            "gen_batch_stats": jax.device_get(gen_bs),
+            "gen_opt_state": jax.device_get(gen_opt_state),
+            "disc_params": jax.device_get(disc_params),
+            "disc_opt_state": jax.device_get(disc_opt_state),
+            "key": jax.device_get(key), "epoch": 0}
+        ck = restore_adv_checkpoint(model_dir, last, template)
+        gen_params = replicate(mesh, ck["gen_params"])
+        gen_bs = replicate(mesh, ck["gen_batch_stats"])
+        gen_opt_state = replicate(mesh, ck["gen_opt_state"])
+        disc_params = replicate(mesh, ck["disc_params"])
+        disc_opt_state = replicate(mesh, ck["disc_opt_state"])
+        key, init_epoch = jnp.asarray(ck["key"]), int(ck["epoch"])
+        for name, curve in (("discriminator_loss.npy", d_curve),
+                            ("generator_loss.npy", g_curve)):
+            path = os.path.join(log_dir, name)
+            if os.path.isfile(path):
+                curve.extend(np.load(path)[:init_epoch].tolist())
+        log_fn(f"resuming from epoch {init_epoch}")
+
+    for epoch in range(init_epoch, epochs):
         t0 = time.time()
-        avg_d, avg_g = 0.0, 0.0
+        # losses accumulate ON DEVICE (a float() per critic iteration would
+        # force training_ratio host syncs per step); one sync per epoch
+        avg_d = jnp.zeros(())
+        avg_g = jnp.zeros(())
+        n_d = 0
         for step_i in range(int(steps_per_epoch)):
             ratio = first_training_ratio if (epoch == 0 and step_i == 0) \
                 else training_ratio
@@ -329,12 +388,18 @@ def training(labels_dir,
                 key, sub = jax.random.split(key)
                 disc_params, disc_opt_state, d_loss = disc_step(
                     gen_params, gen_bs, disc_params, disc_opt_state, sub, batch)
-                avg_d += float(d_loss) / (steps_per_epoch * ratio)
+                avg_d += d_loss
+                n_d += 1
             batch = shard_batch(mesh, tuple(np.asarray(x) for x in next(inputs_gen)))
             key, sub = jax.random.split(key)
             gen_params, gen_bs, gen_opt_state, g_loss = gen_step(
                 gen_params, gen_bs, disc_params, gen_opt_state, sub, batch)
-            avg_g += float(g_loss) / steps_per_epoch
+            avg_g += g_loss
+        avg_d = float(avg_d) / max(n_d, 1)
+        avg_g = float(avg_g) / steps_per_epoch
+        if not (np.isfinite(avg_d) and np.isfinite(avg_g)):
+            raise FloatingPointError(
+                f"Non-finite loss at epoch {epoch + 1}: D {avg_d} G {avg_g}")
         d_curve.append(avg_d)
         g_curve.append(avg_g)
         log_fn(f"Epoch {epoch + 1:0{le}d}/{epochs}  D {avg_d:.5f}  G {avg_g:.5f}  "
@@ -348,6 +413,43 @@ def training(labels_dir,
         export_keras_unet_weights(
             os.path.join(model_dir, f"discriminator_{epoch + 1:0{le}d}.h5"),
             {"params": jax.device_get(disc_params)}, prefix="discriminator_")
+        save_adv_checkpoint(model_dir, epoch + 1, {
+            "gen_params": jax.device_get(gen_params),
+            "gen_batch_stats": jax.device_get(gen_bs),
+            "gen_opt_state": jax.device_get(gen_opt_state),
+            "disc_params": jax.device_get(disc_params),
+            "disc_opt_state": jax.device_get(disc_opt_state),
+            "key": jax.device_get(key), "epoch": epoch + 1})
 
     return {"gen_params": gen_params, "gen_batch_stats": gen_bs,
             "disc_params": disc_params, "d_curve": d_curve, "g_curve": g_curve}
+
+
+# ---------------------------------------------------------------------------
+# checkpointing (orbax, mirrors the supervised loop's save/restore)
+# ---------------------------------------------------------------------------
+
+def save_adv_checkpoint(model_dir, epoch, ckpt):
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(os.path.join(model_dir, f"adv_{epoch:03d}"))
+    with ocp.StandardCheckpointer() as saver:
+        saver.save(path, ckpt, force=True)
+
+
+def latest_adv_checkpoint(model_dir):
+    import re
+
+    if not os.path.isdir(model_dir):
+        return None
+    epochs = [int(m.group(1)) for f in os.listdir(model_dir)
+              if (m := re.fullmatch(r"adv_(\d{3})", f))]
+    return max(epochs) if epochs else None
+
+
+def restore_adv_checkpoint(model_dir, epoch, template):
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(os.path.join(model_dir, f"adv_{epoch:03d}"))
+    with ocp.StandardCheckpointer() as saver:
+        return saver.restore(path, template)

@@ -105,15 +105,21 @@ def build_seg_loss_fn(seg_model, seg_variables, generation_labels,
 def make_train_step(model, generate_fn, optimizer, metrics="l1", loss_cropping=16,
                     residual_indices=None, use_real_image=False, seg_loss_fn=None,
                     seg_rel_weight=0.25, return_labels_to_loss=False,
-                    remat=False):
+                    remat=False, gmm_sampler=None):
     """Build the jitted train step: (state, key, batch) -> (state, loss).
 
     state = (params, batch_stats, opt_state). batch = (labels, means, stds
     [, real]) with leading batch axis; generation runs inside the step.
+    With ``gmm_sampler`` set (a per-sample ``key -> (means, stds)`` fn, see
+    synth/sampling.draw_gmm_params), the batch carries only (labels[, real])
+    and the GMM prior draws happen ON DEVICE inside the step — the host
+    pipeline then only streams label maps (SURVEY.md §7).
 
-    ``remat``: rematerialize the U-Net in the backward pass (jax.checkpoint)
-    — trades ~1 extra forward for dropping all its activations from HBM,
-    which is what lets batch > 1 fit at 128³ on a 16G chip.
+    ``remat``: rematerialization of the U-Net in the backward pass.
+    False = keep all activations; True = whole-net jax.checkpoint;
+    "levels" = per-level checkpointing (save only the skip / decoder-level
+    boundary tensors tagged in models/unet.py and recompute one level's
+    convs at a time) — the mode that fits batch ≥ 2 at 128³ on a 16G chip.
     """
 
     returns_labels = seg_loss_fn is not None
@@ -122,11 +128,20 @@ def make_train_step(model, generate_fn, optimizer, metrics="l1", loss_cropping=1
         return model.apply({"params": p, "batch_stats": bs_}, image,
                            train=True, mutable=["batch_stats"])
 
-    if remat:
+    if remat == "levels":
+        names = [f"unet_skip_{l}" for l in range(model.nb_levels)]
+        names += [f"unet_dec_{l}" for l in range(model.nb_levels - 1)]
+        apply_net = jax.checkpoint(
+            apply_net, policy=jax.checkpoint_policies.save_only_these_names(*names))
+    elif remat:
         apply_net = jax.checkpoint(apply_net)
 
     def step(params, batch_stats, opt_state, key, batch):
         bs = batch[0].shape[0]
+        if gmm_sampler is not None:
+            key, key_gmm = jax.random.split(key)
+            means, stds = jax.vmap(gmm_sampler)(jax.random.split(key_gmm, bs))
+            batch = (batch[0], means, stds) + tuple(batch[1:])
         keys = jax.random.split(key, bs)
         args = (keys,) + tuple(batch[:4 if use_real_image else 3])
         gen_out = jax.vmap(generate_fn)(*args)
@@ -388,8 +403,22 @@ def training(labels_dir,
     opt_state = replicate(mesh, opt_state)
 
     if remat is None:
-        remat = False  # whole-net checkpoint alone doesn't fit batch 2 at
-        # 128³ on 16G; per-level remat is the round-2 follow-up
+        # per-level remat is what lets batch ≥ 2 per chip fit at 128³ on 16G;
+        # at batch 1 everything fits without recompute
+        remat = "levels" if batchsize // n_devices >= 2 else False
+
+    # GMM prior draws run ON DEVICE inside the step (SURVEY.md §7); the host
+    # pipeline streams only label maps (+ real images)
+    from ..synth.sampling import make_gmm_sampler
+
+    gmm_sampler = make_gmm_sampler(
+        n_labels=len(generation_labels),
+        prior_means=brain_generator.prior_means,
+        prior_stds=brain_generator.prior_stds,
+        prior_distributions=prior_distributions,
+        n_channels=brain_generator.n_channels,
+        generation_classes=brain_generator.generation_classes)
+
     train_step = make_train_step(model, generate_fn, optimizer,
                                  metrics=regression_metric,
                                  loss_cropping=loss_cropping,
@@ -397,7 +426,7 @@ def training(labels_dir,
                                  use_real_image=use_real,
                                  seg_loss_fn=seg_loss_fn,
                                  seg_rel_weight=relative_weight_segmentation,
-                                 remat=remat)
+                                 remat=remat, gmm_sampler=gmm_sampler)
 
     # resume (reference :434-439: epoch parsed from checkpoint filename)
     init_epoch = 0
@@ -427,10 +456,20 @@ def training(labels_dir,
         log_fn(f"resuming from epoch {init_epoch}")
 
     # ----- loop -----
+    from ..synth.model_inputs import build_model_inputs
     from ..utils.prefetch import PrefetchIterator
 
-    inputs_gen = PrefetchIterator(brain_generator.model_inputs_generator,
-                                  buffer_size=4)
+    # labels-only host stream (GMM params are drawn on device)
+    labels_only_gen = build_model_inputs(
+        path_label_maps=brain_generator.labels_paths,
+        n_labels=len(generation_labels),
+        prior_means=brain_generator.prior_means,
+        prior_stds=brain_generator.prior_stds,
+        path_images=brain_generator.images_paths,
+        batchsize=batchsize,
+        rng=brain_generator._rng if seed is not None else None,
+        include_gmm_params=False)
+    inputs_gen = PrefetchIterator(labels_only_gen, buffer_size=4)
     log_path = os.path.join(model_dir, "logs")
     os.makedirs(log_path, exist_ok=True)
     loss_curve = []

@@ -116,3 +116,86 @@ def test_training_rejects_bad_channel_specs(tiny_dataset, tmp_path):
     kwargs["output_channel"] = None  # no images_dir either
     with pytest.raises(ValueError):
         training(**kwargs)
+
+
+def test_gmm_sampler_matches_host_semantics():
+    """make_gmm_sampler expands class draws to labels exactly like the host
+    path (model_inputs.py): zero-std normal priors make the draw
+    deterministic = the mean row gathered through generation_classes."""
+    import jax
+    import jax.numpy as jnp
+
+    from synthsr_tpu.synth.sampling import make_gmm_sampler
+
+    pm = np.stack([np.array([10.0, 50.0, 90.0]), np.zeros(3)])  # mean, std=0
+    ps = np.stack([np.array([1.0, 2.0, 3.0]), np.zeros(3)])
+    classes = np.array([0, 1, 1, 2], np.int32)
+    sampler = make_gmm_sampler(4, pm, ps, "normal", n_channels=1,
+                               generation_classes=classes)
+    means, stds = jax.jit(sampler)(jax.random.PRNGKey(0))
+    assert means.shape == (4, 1) and stds.shape == (4, 1)
+    np.testing.assert_allclose(np.asarray(means)[:, 0], [10, 50, 50, 90])
+    np.testing.assert_allclose(np.asarray(stds)[:, 0], [1, 2, 2, 3])
+
+    # two channels: per-channel 2-row blocks are mandatory (SynthSR rule)
+    pm2 = np.concatenate([pm, np.stack([pm[0] + 5.0, np.zeros(3)])])
+    ps2 = np.concatenate([ps, ps])
+    sampler2 = make_gmm_sampler(4, pm2, ps2, "normal", n_channels=2,
+                                generation_classes=classes)
+    means2, _ = jax.jit(sampler2)(jax.random.PRNGKey(0))
+    assert means2.shape == (4, 2)
+    np.testing.assert_allclose(np.asarray(means2)[:, 1] - np.asarray(means2)[:, 0],
+                               5.0, rtol=1e-6)
+    with pytest.raises(ValueError):
+        make_gmm_sampler(4, pm2, ps2, "normal", n_channels=3,
+                         generation_classes=classes)
+
+
+def test_per_level_remat_matches_no_remat(tiny_dataset, tmp_path):
+    """remat='levels' only changes WHAT is saved for backward, not the math:
+    one step from identical state/key must give the same loss and params."""
+    import jax
+    import jax.numpy as jnp
+
+    from synthsr_tpu.models.unet import UNet3D
+    from synthsr_tpu.synth.labels_to_image import (GenerationConfig,
+                                                   build_generator)
+    from synthsr_tpu.train.metrics import doubled_residual_indices
+    from synthsr_tpu.train.training import make_optimizer, make_train_step
+
+    cfg = GenerationConfig(
+        labels_shape=[16, 16, 16], input_channels=[True], output_channel=[0],
+        generation_labels=np.array([0, 2, 4], np.int32), n_neutral_labels=3,
+        atlas_res=[1.0, 1.0, 1.0], output_shape=16, output_div_by_n=4,
+        flipping=True, aff=np.eye(4), randomise_res=False,
+        data_res=np.array([[1.0, 1.0, 2.0]]), downsample=True,
+        build_reliability_maps=True, simulate_registration_error=False)
+    generate_fn = build_generator(cfg)
+    model = UNet3D(nb_features=2, nb_levels=2, nb_conv_per_level=1,
+                   nb_labels=1, compute_dtype=jnp.float32)
+    variables = dict(jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 16, 2))))
+    optimizer = make_optimizer(1e-3)
+
+    rng = np.random.default_rng(0)
+    batch = (rng.integers(0, 2, (2, 16, 16, 16, 1)).astype(np.int32) * 2,
+             rng.uniform(20, 200, (2, 3, 1)).astype(np.float32),
+             rng.uniform(1, 10, (2, 3, 1)).astype(np.float32))
+    key = jax.random.PRNGKey(7)
+    results = {}
+    for mode in (False, "levels"):
+        step = make_train_step(model, generate_fn, optimizer, metrics="l1",
+                               loss_cropping=12,
+                               residual_indices=doubled_residual_indices([0], True),
+                               remat=mode)
+        params, bs, loss = None, None, None
+        p, b = jax.tree.map(jnp.copy, variables["params"]), \
+            jax.tree.map(jnp.copy, variables["batch_stats"])
+        opt_state = optimizer.init(p)
+        p, b, opt_state, loss = step(p, b, opt_state, key, batch)
+        results[mode] = (jax.device_get(p), float(loss))
+    np.testing.assert_allclose(results[False][1], results["levels"][1], rtol=1e-6)
+    flat0 = jax.tree.leaves(results[False][0])
+    flat1 = jax.tree.leaves(results["levels"][0])
+    for a, b in zip(flat0, flat1):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-7)
