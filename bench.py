@@ -63,6 +63,8 @@ def main():
         "value": round(vol_per_min, 2),
         "unit": "volumes/min",
         "vs_baseline": round(vol_per_min / TF_A100_BASELINE_VOL_PER_MIN, 2),
+        "baseline_note": "estimated 15 vol/min TF-2.0-on-A100 (reference "
+                         "publishes no numbers; see module docstring)",
     }))
 
 

@@ -31,8 +31,9 @@ from .volume import load_volume, save_volume
 
 def _iterate(image_dir, result_dir, fn, recompute=True, text="processing",
              dtype=None):
-    """Generic per-file driver: load -> fn(vol, aff, header, path) ->
-    (vol, aff) -> save."""
+    """Generic per-file driver: load -> fn(vol, aff, header, path, idx) ->
+    (vol, aff) -> save.  idx is the position in the sorted listing (stable
+    across recompute=False skips, so mask/ref pairing never drifts)."""
     os.makedirs(result_dir, exist_ok=True)
     paths = list_images_in_folder(image_dir)
     loop_info = LoopInfo(len(paths), 10, text, True)
@@ -41,9 +42,12 @@ def _iterate(image_dir, result_dir, fn, recompute=True, text="processing",
         loop_info.update(idx)
         out_path = os.path.join(result_dir, os.path.basename(path))
         if os.path.isfile(out_path) and not recompute:
+            # skipped files still occupy their slot: fn is index-paired to the
+            # sorted listing (reference pairs by sorted index via zip)
+            outputs.append(out_path)
             continue
         vol, aff, h = load_volume(path, im_only=False, dtype=dtype)
-        res = fn(vol, aff, h, path)
+        res = fn(vol, aff, h, path, idx)
         if res is not None:
             new_vol, new_aff = res
             save_volume(new_vol, new_aff, h, out_path)
@@ -61,13 +65,11 @@ def mask_images_in_dir(image_dir, result_dir, mask_dir=None, threshold=0.1,
         assert mask_result_dir is not None, "mask_result_dir required with write_mask"
         os.makedirs(mask_result_dir, exist_ok=True)
     masks = list_images_in_folder(mask_dir) if mask_dir is not None else None
-    idx_holder = [0]
 
-    def fn(vol, aff, h, path):
+    def fn(vol, aff, h, path, idx):
         mask = None
         if masks is not None:
-            mask = load_volume(masks[idx_holder[0]])
-        idx_holder[0] += 1
+            mask = load_volume(masks[idx])
         out, m = ev.mask_volume(vol, mask=mask, threshold=threshold, dilate=dilate,
                                 erode=erode, fill_holes=fill_holes,
                                 masking_value=masking_value, return_mask=True)
@@ -84,7 +86,7 @@ def rescale_images_in_dir(image_dir, result_dir, new_min=0, new_max=255,
                           use_positive_only=False, recompute=True):
     """(reference :1099-1129)"""
     return _iterate(image_dir, result_dir,
-                    lambda v, a, h, p: (ev.rescale_volume(
+                    lambda v, a, h, p, i: (ev.rescale_volume(
                         v, new_min, new_max, min_percentile, max_percentile,
                         use_positive_only), a),
                     recompute, "rescaling")
@@ -93,7 +95,7 @@ def rescale_images_in_dir(image_dir, result_dir, new_min=0, new_max=255,
 def crop_images_in_dir(image_dir, result_dir, cropping_margin=None,
                        cropping_shape=None, recompute=True):
     """(reference :1132-1157)"""
-    def fn(v, a, h, p):
+    def fn(v, a, h, p, idx):
         out, aff = ev.crop_volume(v, cropping_margin=cropping_margin,
                                   cropping_shape=cropping_shape, aff=a)
         return out, aff
@@ -106,11 +108,9 @@ def crop_images_around_region_in_dir(image_dir, result_dir, mask_dir=None,
                                      crop_margin=5, recompute=True):
     """(reference :1160-1205)"""
     masks = list_images_in_folder(mask_dir) if mask_dir is not None else None
-    idx_holder = [0]
 
-    def fn(v, a, h, p):
-        mask = load_volume(masks[idx_holder[0]]) if masks is not None else None
-        idx_holder[0] += 1
+    def fn(v, a, h, p, idx):
+        mask = load_volume(masks[idx]) if masks is not None else None
         out, _, aff = crop_volume_around_region(v, mask=mask, threshold=threshold,
                                                 masking_labels=masking_labels,
                                                 margin=crop_margin, aff=a)
@@ -131,7 +131,7 @@ def pad_images_in_dir(image_dir, result_dir, max_shape=None, padding_value=0,
             max_shape = np.maximum(max_shape, np.array(shape[:3]))
         max_shape = max_shape.tolist()
 
-    def fn(v, a, h, p):
+    def fn(v, a, h, p, idx):
         out, aff = ev.pad_volume(v, max_shape, padding_value=padding_value, aff=a)
         return out, aff
 
@@ -143,7 +143,7 @@ def flip_images_in_dir(image_dir, result_dir, axis=None, direction=None,
                        recompute=True):
     """(reference :1248-1272)"""
     return _iterate(image_dir, result_dir,
-                    lambda v, a, h, p: (ev.flip_volume(v, axis=axis,
+                    lambda v, a, h, p, i: (ev.flip_volume(v, axis=axis,
                                                        direction=direction, aff=a), a),
                     recompute, "flipping")
 
@@ -156,7 +156,7 @@ def align_images_in_dir(image_dir, result_dir, aff_ref=None, path_ref=None,
     if aff_ref is None:
         aff_ref = np.eye(4)
 
-    def fn(v, a, h, p):
+    def fn(v, a, h, p, idx):
         n_dims, _ = get_dims(v.shape)
         out, aff = ev.align_volume_to_ref(v, a, aff_ref=aff_ref, return_aff=True,
                                           n_dims=n_dims)
@@ -168,7 +168,7 @@ def align_images_in_dir(image_dir, result_dir, aff_ref=None, path_ref=None,
 def correct_nans_images_in_dir(image_dir, result_dir, recompute=True):
     """(reference :1323-1343)"""
     return _iterate(image_dir, result_dir,
-                    lambda v, a, h, p: (np.nan_to_num(v), a),
+                    lambda v, a, h, p, i: (np.nan_to_num(v), a),
                     recompute, "correcting")
 
 
@@ -177,11 +177,9 @@ def blur_images_in_dir(image_dir, result_dir, sigma, mask_dir=None, gpu=False,
     """(reference :1346-1403); gpu flag accepted for surface parity."""
     del gpu
     masks = list_images_in_folder(mask_dir) if mask_dir is not None else None
-    idx_holder = [0]
 
-    def fn(v, a, h, p):
-        mask = load_volume(masks[idx_holder[0]]) if masks is not None else None
-        idx_holder[0] += 1
+    def fn(v, a, h, p, idx):
+        mask = load_volume(masks[idx]) if masks is not None else None
         return ev.blur_volume(v, sigma, mask=mask), a
 
     return _iterate(image_dir, result_dir, fn, recompute, "blurring")
@@ -430,7 +428,7 @@ def correct_labels_in_dir(labels_dir, results_dir, incorrect_labels,
                           remove_zero=False, smooth=False, recompute=True):
     """(reference :1980-2014)"""
     return _iterate(labels_dir, results_dir,
-                    lambda v, a, h, p: (correct_label_map(
+                    lambda v, a, h, p, i: (correct_label_map(
                         v.astype(np.int32), incorrect_labels, correct_labels,
                         use_nearest_label, remove_zero, smooth), a),
                     recompute, "correcting", dtype="int32")
@@ -442,7 +440,7 @@ def mask_labels_in_dir(labels_dir, result_dir, values_to_keep, masking_value=0,
     if mask_result_dir is not None:
         os.makedirs(mask_result_dir, exist_ok=True)
 
-    def fn(v, a, h, p):
+    def fn(v, a, h, p, idx):
         out, mask = mask_label_map(v.astype(np.int32), values_to_keep,
                                    masking_value, return_mask=True)
         if mask_result_dir is not None:
@@ -459,7 +457,7 @@ def smooth_labels_in_dir(labels_dir, result_dir, gpu=False, labels_list=None,
     del gpu
     from ..utils.misc import build_binary_structure
 
-    def fn(v, a, h, p):
+    def fn(v, a, h, p, idx):
         n_dims, _ = get_dims(v.shape)
         kernel = build_binary_structure(connectivity, n_dims)
         return smooth_label_map(v.astype(np.int32), kernel,
@@ -474,7 +472,7 @@ def erode_labels_in_dir(labels_dir, result_dir, labels_to_erode,
     """(reference :2158-2185)"""
     del gpu
     return _iterate(labels_dir, result_dir,
-                    lambda v, a, h, p: (erode_label_map(
+                    lambda v, a, h, p, i: (erode_label_map(
                         v.astype(np.int32), labels_to_erode, erosion_factors), a),
                     recompute, "eroding", dtype="int32")
 
@@ -483,7 +481,7 @@ def upsample_labels_in_dir(labels_dir, target_res, result_dir,
                            path_label_list=None, recompute=True):
     """One-hot, blur-free NN upsampling of label maps (reference :2188-2264
     common path: resample each map to target_res with nearest interpolation)."""
-    def fn(v, a, h, p):
+    def fn(v, a, h, p, idx):
         out, aff = ev.resample_volume(v.astype(np.float32), a,
                                       reformat_to_list(target_res, length=3),
                                       interpolation="nearest", blur=False)

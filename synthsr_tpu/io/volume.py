@@ -128,7 +128,7 @@ def align_volume_to_ref(volume, aff, aff_ref=None, return_aff=False, n_dims=None
     for i in range(n_dims):
         if ras_flo[i] != ras_ref[i]:
             new_volume = np.swapaxes(new_volume, ras_flo[i], ras_ref[i])
-            j = np.where(ras_flo == ras_ref[i])
+            j = int(np.where(ras_flo == ras_ref[i])[0][0])
             ras_flo[j], ras_flo[i] = ras_flo[i], ras_flo[j]
 
     dots = np.sum(aff_flo[:3, :3] * aff_ref[:3, :3], axis=0)

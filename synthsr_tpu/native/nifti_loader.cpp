@@ -14,6 +14,7 @@
 
 #include <zlib.h>
 
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <vector>
@@ -152,9 +153,18 @@ int64_t nifti_read(const char* path, void* out, int64_t capacity_bytes,
     int rc;
     if (out_dtype == 0) {
         rc = cast_any<float>(h.datatype, tmp.data(), static_cast<float*>(out), n);
-        if (rc == 0 && h.scl_slope != 0.0f && (h.scl_slope != 1.0f || h.scl_inter != 0.0f)) {
+        // scl_slope/inter semantics identical to the python reader
+        // (io/nifti.py:153-159): non-finite or zero slope acts as 1.0,
+        // non-finite inter as 0.0; scale when effective (slope, inter)
+        // differs from (1, 0).
+        float slope = h.scl_slope, inter = h.scl_inter;
+        bool apply = (std::isfinite(slope) && slope != 0.0f && slope != 1.0f)
+                  || (std::isfinite(inter) && inter != 0.0f);
+        if (rc == 0 && apply) {
+            if (!std::isfinite(slope) || slope == 0.0f) slope = 1.0f;
+            if (!std::isfinite(inter)) inter = 0.0f;
             float* o = static_cast<float*>(out);
-            for (int64_t i = 0; i < n; ++i) o[i] = o[i] * h.scl_slope + h.scl_inter;
+            for (int64_t i = 0; i < n; ++i) o[i] = o[i] * slope + inter;
         }
     } else {
         rc = cast_any<int32_t>(h.datatype, tmp.data(), static_cast<int32_t*>(out), n);

@@ -283,15 +283,16 @@ def build_generator(cfg: GenerationConfig, return_labels: bool = False):
                                                      normalise=True, gamma_std=0.5)
             channel = augment.gaussian_blur(channel, [0.5] * 3, key=kc[2])
 
-            # synthetic regression target (reference :189-196)
+            # synthetic regression target (reference :189-196). The reference
+            # REASSIGNS `channel` to the blurred+resampled tensor, so when
+            # crop_shape != out_shape the acquisition simulation below runs on
+            # the target-res tensor — preserved verbatim.
             if not cfg.use_real_image and any(c == i for c in cfg.output_channel):
                 if list(cfg.crop_shape) != list(cfg.out_shape):
                     sigma = blurring_sigma_np(cfg.atlas_res3, cfg.target_res3)
-                    t = augment.gaussian_blur(channel, list(sigma))
-                    t = augment.resample_tensor(t, cfg.out_shape)
-                    targets.append(t)
-                else:
-                    targets.append(channel)
+                    channel = augment.gaussian_blur(channel, list(sigma))
+                    channel = augment.resample_tensor(channel, cfg.out_shape)
+                targets.append(channel)
 
             if not cfg.input_channels[i]:
                 continue

@@ -434,6 +434,11 @@ def training(labels_dir,
     last = latest_checkpoint(model_dir)
     if checkpoint is not None and not checkpoint.endswith(".h5"):
         m = re.search(r"(\d{3})$", checkpoint.rstrip("/"))
+        if m is None:
+            raise ValueError(
+                f"checkpoint '{checkpoint}' is neither a .h5 file nor an "
+                "epoch-numbered orbax directory (expected a name ending in "
+                "three digits, e.g. '<model_dir>/checkpoints/042')")
         template = {"params": jax.device_get(params),
                     "batch_stats": jax.device_get(batch_stats),
                     "opt_state": jax.device_get(opt_state),

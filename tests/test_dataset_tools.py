@@ -128,3 +128,27 @@ def test_external_wrapper_errors_cleanly(dataset):
     img_dir, _, tmp = dataset
     with pytest.raises(FileNotFoundError, match="mri_convert"):
         dt.mri_convert_images_in_dir(img_dir, str(tmp / "conv"))
+
+
+def test_mask_pairing_stable_across_skips(dataset):
+    """recompute=False skips must not shift the image->mask pairing
+    (reference zips by sorted index; advisor round-1 medium finding)."""
+    img_dir, lab_dir, tmp = dataset
+    out = tmp / "mp"
+    # masks: s0 keeps nothing, s1/s2 keep everything -> pairing is observable
+    mask_dir = tmp / "masks"
+    mask_dir.mkdir()
+    for i, keep in enumerate([0, 1, 1]):
+        m = np.full((24, 24, 24), keep, np.int32)
+        save_volume(m, np.eye(4), None, str(mask_dir / f"s{i}.nii.gz"))
+    # pre-create s0's output so recompute=False skips it
+    out.mkdir()
+    src = load_volume(os.path.join(img_dir, "s0.nii.gz"))
+    save_volume(src, np.eye(4), None, str(out / "s0.nii.gz"))
+    outputs = dt.mask_images_in_dir(img_dir, str(out), mask_dir=str(mask_dir),
+                                    recompute=False)
+    assert len(outputs) == 3  # skipped files still reported
+    # s1 must be masked with mask #1 (all-keep), not mask #0 (all-zero)
+    v1 = load_volume(str(out / "s1.nii.gz"))
+    ref1 = load_volume(os.path.join(img_dir, "s1.nii.gz"))
+    assert np.abs(v1 - ref1).max() < 1e-4

@@ -46,3 +46,23 @@ def test_native_rounds_float_labels(tmp_path):
 
 def test_native_rejects_missing_file():
     assert read_nifti_fast("/nonexistent/x.nii.gz", "int32") is None
+
+
+@pytest.mark.parametrize("slope,inter", [(float("nan"), 3.0), (0.0, 3.0),
+                                         (float("nan"), float("nan"))])
+def test_native_slope_edge_cases_match_python(tmp_path, slope, inter):
+    """Non-finite/zero slope acts as 1.0, non-finite inter as 0.0 — identical
+    in the C++ fast path and the python reader (advisor round-1 finding)."""
+    import struct
+
+    data = np.arange(24, dtype=np.int16).reshape(2, 3, 4)
+    p = str(tmp_path / "edge.nii")
+    save_volume(data, np.eye(4), None, p, dtype="int16")
+    raw = bytearray(open(p, "rb").read())
+    struct.pack_into("<f", raw, 112, slope)
+    struct.pack_into("<f", raw, 116, inter)
+    open(p, "wb").write(raw)
+    py = load_volume(p, dtype="float32", fast=False)
+    nat = read_nifti_fast(p, "float32")[0]
+    assert np.isfinite(nat).all()
+    np.testing.assert_allclose(nat, py, atol=1e-5)

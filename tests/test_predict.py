@@ -164,3 +164,74 @@ def test_dir_batch_naming(tmp_path, random_weights_h5):
     images, outs = _prepare_paths(str(d_in), str(tmp_path / "out"))
     assert [os.path.basename(o) for o in outs] == \
         ["a_SynthSR.nii.gz", "b_SynthSR.nii", "c_SynthSR.mgz"]
+
+
+def test_h5_roundtrip_predict_equivalence(tmp_path, random_weights_h5):
+    """Synthetic-weights end-to-end equivalence: predictions through the .h5
+    interchange equal predictions from the native flax variables (the 'both
+    pipelines' check that stands in for the LFS-missing shipped weights)."""
+    import jax
+    import jax.numpy as jnp
+
+    from synthsr_tpu.cli.predict import Predictor
+    from synthsr_tpu.models.h5_import import load_keras_unet_weights
+    from synthsr_tpu.models.unet import synthsr_unet
+
+    pin, _, _ = _make_input(tmp_path, shape=(32, 32, 32), zooms=(1, 1, 1))
+    pred = Predictor(model_path=random_weights_h5, compute_dtype="float32")
+    p_h5 = str(tmp_path / "via_h5.nii.gz")
+    pred.predict_file(pin, p_h5)
+
+    # native path: same variables, direct apply with identical pre/post math
+    model = synthsr_unet(compute_dtype=jnp.float32)
+    variables = dict(jax.jit(model.init)(jax.random.PRNGKey(0),
+                                         jnp.zeros((1, 32, 32, 32, 1))))
+    variables = load_keras_unet_weights(random_weights_h5, variables)
+    pred2 = Predictor.__new__(Predictor)
+    pred2.model = model
+    pred2.variables = variables
+    pred2.disable_flipping = False
+    pred2.ct = False
+    pred2._jitted = {}
+    p_native = str(tmp_path / "native.nii.gz")
+    pred2.predict_file(pin, p_native)
+
+    a = load_volume(p_h5)
+    b = load_volume(p_native)
+    np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_parity_harness_psnr_and_compare(tmp_path, random_weights_h5):
+    """PSNR math + compare_dirs pairing + the CLI wiring of the parity
+    harness (BASELINE.md 'PSNR >= 40 dB vs TF reference' check)."""
+    from synthsr_tpu.cli import parity
+
+    # psnr unit semantics
+    a = np.zeros((8, 8, 8), np.float32)
+    assert parity.psnr(a, a) == float("inf")
+    b = a + 1.28  # MSE = 1.28^2 -> PSNR = 20 log10(128/1.28) = 40 dB
+    assert abs(parity.psnr(a, b) - 40.0) < 1e-6
+
+    # compare_dirs over two directories
+    d1, d2 = tmp_path / "p", tmp_path / "r"
+    d1.mkdir(); d2.mkdir()
+    rng = np.random.default_rng(3)
+    v = rng.uniform(0, 128, (12, 12, 12)).astype(np.float32)
+    save_volume(v, np.eye(4), None, str(d1 / "s.nii.gz"))
+    save_volume(v + 1.28, np.eye(4), None, str(d2 / "s.nii.gz"))
+    res = parity.compare_dirs(str(d1), str(d2))
+    assert len(res) == 1 and abs(res[0][1] - 40.0) < 1e-3
+
+    # full CLI: self-comparison must pass the 40 dB bar with PSNR = inf
+    pin, _, _ = _make_input(tmp_path, shape=(32, 32, 32), zooms=(1, 1, 1))
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    os.rename(pin, str(in_dir / "input.nii.gz"))
+    out1 = str(tmp_path / "ours")
+    rc = parity.main(["--tf_h5", random_weights_h5, "--input_dir", str(in_dir),
+                      "--output_dir", out1])
+    assert rc == 0
+    rc = parity.main(["--tf_h5", random_weights_h5, "--input_dir", str(in_dir),
+                      "--output_dir", str(tmp_path / "ours2"),
+                      "--reference_dir", out1])
+    assert rc == 0
