@@ -384,12 +384,22 @@ def training(labels_dir,
         seg_example = jnp.zeros((1, *brain_generator.model_output_shape, 1))
         seg_vars = dict(jax.jit(seg_model.init)(jax.random.PRNGKey(1), seg_example))
         seg_vars = load_keras_unet_weights(segmentation_model_file, seg_vars)
-        # percentile normalization bounds are computed on the fly in the
-        # reference (:392-399) from one generated example; here we default to
-        # the synthetic intensity range [0, 1]
+        # clip/normalization bounds for what the frozen segmenter sees: 2nd
+        # and 98th percentiles of the FIRST real image (reference :393-399);
+        # None (no normalization) when training is fully synthetic, as in the
+        # reference's images_dir=None path
+        seg_m = seg_M = None
+        if images_dir is not None:
+            from ..io.volume import load_volume
+            from ..utils.misc import list_images_in_folder
+
+            im0 = load_volume(list_images_in_folder(images_dir)[0]).flatten()
+            seg_m = float(np.percentile(im0, 2))
+            seg_M = float(np.percentile(im0, 98))
         seg_loss_fn = build_seg_loss_fn(seg_model, seg_vars, generation_labels,
                                         segmentation_label_equivalency,
-                                        loss_cropping, fs_header=fs_header_segnet)
+                                        loss_cropping, m=seg_m, M=seg_M,
+                                        fs_header=fs_header_segnet)
 
     # ----- optimizer, mesh, step (reference :415-453) -----
     optimizer = make_optimizer(lr, lr_decay)
