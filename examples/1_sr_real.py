@@ -3,7 +3,10 @@
 from label maps, spatially augmented jointly with the real target scans."""
 import os, time
 import numpy as np
-from common import GEN_CLASSES, GEN_LABELS, IMAGES, LABELS, RESULTS, priors
+from common import (GEN_CLASSES, GEN_LABELS, LABELS, N_SAMPLES,
+                    RESULTS, SMOKE_SHAPE, ensure_images, priors)
+
+IMAGES = ensure_images()
 from synthsr_tpu.io.volume import save_volume
 from synthsr_tpu.synth.brain_generator import BrainGenerator
 
@@ -14,9 +17,9 @@ gen = BrainGenerator(labels_dir=LABELS, images_dir=IMAGES,
                      input_channels=True, output_channel=None,
                      data_res=np.array([1.0, 1.0, 3.0]),
                      thickness=np.array([1.0, 1.0, 3.0]),
-                     downsample=True, build_reliability_maps=True)
+                     downsample=True, build_reliability_maps=True, output_shape=SMOKE_SHAPE)
 out = os.path.join(RESULTS, "1-SR_real"); os.makedirs(out, exist_ok=True)
-for n in range(3):
+for n in range(N_SAMPLES):
     t0 = time.time()
     inputs, target = gen.generate_brain()
     print(f"sample {n}: {time.time() - t0:.2f}s")

@@ -1,7 +1,7 @@
 """Plain SR with synthetic HR targets (reference tutorials/2-SR_synthetic.py)."""
 import os, time
 import numpy as np
-from common import GEN_CLASSES, GEN_LABELS, LABELS, RESULTS, priors
+from common import N_SAMPLES, GEN_CLASSES, GEN_LABELS, LABELS, RESULTS, priors
 from synthsr_tpu.io.volume import save_volume
 from synthsr_tpu.synth.brain_generator import BrainGenerator
 
@@ -14,7 +14,7 @@ gen = BrainGenerator(labels_dir=LABELS, generation_labels=GEN_LABELS,
                      thickness=np.array([1.0, 1.0, 3.0]),
                      downsample=True, build_reliability_maps=True)
 out = os.path.join(RESULTS, "2-SR_synthetic"); os.makedirs(out, exist_ok=True)
-for n in range(3):
+for n in range(N_SAMPLES):
     t0 = time.time()
     inputs, target = gen.generate_brain()
     print(f"sample {n}: {time.time() - t0:.2f}s")
