@@ -37,6 +37,11 @@ def build_arg_parser():
                    help="alternative model weights (.h5 Keras or .msgpack flax)")
     p.add_argument("--disable_flipping", action="store_true",
                    help="disable flip test-time augmentation")
+    p.add_argument("--fast_inference", choices=["auto", "on", "off"],
+                   default="auto",
+                   help="channels-first Pallas conv forward (~1.3x the XLA "
+                        "path on TPU; bf16-level output differences). "
+                        "auto = on for single-channel TPU runs")
     p.add_argument("--lowfield", action="store_true", help=argparse.SUPPRESS)
     return p
 
@@ -105,7 +110,8 @@ class Predictor:
     """Reusable jitted predict pipeline (compiles once per padded shape)."""
 
     def __init__(self, model_path=None, disable_flipping=False, ct=False,
-                 compute_dtype="bfloat16", n_channels=1):
+                 compute_dtype="bfloat16", n_channels=1, fast_inference="auto"):
+        import jax
         import jax.numpy as jnp
 
         from ..models.unet import synthsr_unet
@@ -115,6 +121,11 @@ class Predictor:
         self.variables = load_unet_variables(self.model, model_path, n_channels)
         self.disable_flipping = disable_flipping
         self.ct = ct
+        if fast_inference == "auto":
+            fast_inference = ("on" if jax.default_backend() == "tpu"
+                              and n_channels == 1 and dt == jnp.bfloat16
+                              else "off")
+        self.use_fast = fast_inference == "on"
         self._jitted = {}
 
     def _net_fn(self, shape):
@@ -125,22 +136,38 @@ class Predictor:
             model = self.model
             flip = not self.disable_flipping
 
-            # TTA as SEPARATE executables: a 256³ single forward peaks at
-            # ~13.6G temp HBM on a 16G chip, so the two flip passes must not
-            # share one XLA program (interleaved scheduling OOMs).
-            fwd = jax.jit(lambda v, s: model.apply(v, s))
-            fwd_flipped = jax.jit(
-                lambda v, s: jnp.flip(model.apply(v, jnp.flip(s, axis=1)), axis=1))
             combine = jax.jit(
                 lambda y0, y1: jnp.clip(255.0 * (0.5 * y0 + 0.5 * y1), 0.0, 128.0))
             post = jax.jit(lambda y: jnp.clip(255.0 * y, 0.0, 128.0))
 
-            def run(variables, s):
-                y0 = fwd(variables, s)
-                if flip:
-                    y1 = fwd_flipped(variables, s)
-                    return combine(y0, y1)
-                return post(y0)
+            if self.use_fast:
+                from ..models.unet_cf import make_fast_predictor
+
+                variables = self.variables
+                fast = make_fast_predictor(model, variables,
+                                           (1, *shape, 1))
+
+                def run(_, s):
+                    y0 = fast(s)
+                    if flip:
+                        y1 = jnp.flip(fast(jnp.flip(s, axis=1)), axis=1)
+                        return combine(y0, y1)
+                    return post(y0)
+            else:
+                # TTA as SEPARATE executables: a 256³ single forward peaks at
+                # ~13.6G temp HBM on a 16G chip, so the two flip passes must
+                # not share one XLA program (interleaved scheduling OOMs).
+                fwd = jax.jit(lambda v, s: model.apply(v, s))
+                fwd_flipped = jax.jit(
+                    lambda v, s: jnp.flip(model.apply(v, jnp.flip(s, axis=1)),
+                                          axis=1))
+
+                def run(variables, s):
+                    y0 = fwd(variables, s)
+                    if flip:
+                        y1 = fwd_flipped(variables, s)
+                        return combine(y0, y1)
+                    return post(y0)
 
             self._jitted[shape] = run
         return self._jitted[shape]
@@ -203,7 +230,8 @@ def main(argv=None):
     images, outs = _prepare_paths(args.path_images, args.path_predictions)
     print(f"Found {len(images)} images")
     predictor = Predictor(model_path=args.model,
-                          disable_flipping=args.disable_flipping, ct=args.ct)
+                          disable_flipping=args.disable_flipping, ct=args.ct,
+                          fast_inference=args.fast_inference)
     for idx, (pin, pout) in enumerate(zip(images, outs)):
         print(f"  Working on image {idx + 1}")
         print("  " + pin)

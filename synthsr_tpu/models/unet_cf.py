@@ -39,13 +39,15 @@ def _maxpool_cf(x):
                                  (1, 2, 2, 2), "SAME")
 
 
-def _conv_cf(p, x, interpret=False):
+def _conv_cf(p, x, interpret=False, activation=None):
     # optimization barriers keep XLA from folding the pallas output into
-    # VMEM-resident fusions (full-graph scheduling OOMs otherwise)
+    # VMEM-resident fusions (full-graph scheduling OOMs otherwise); bias and
+    # activation run fused inside the kernel epilogue (saves one full HBM
+    # round trip per conv)
     x = jax.lax.optimization_barrier(x)
-    y = conv3d_cf(x, p["kernel"].astype(x.dtype), interpret=interpret)
-    y = jax.lax.optimization_barrier(y)
-    return y + p["bias"].astype(y.dtype).reshape(-1, 1, 1, 1)
+    y = conv3d_cf(x, p["kernel"].astype(x.dtype), bias=p["bias"],
+                  activation=activation, interpret=interpret)
+    return jax.lax.optimization_barrier(y)
 
 
 def _conv_cl(p, x):
@@ -80,6 +82,7 @@ def fast_unet_forward(model: UNet3D, variables, x, interpret=False,
     params = variables["params"]
     stats = variables["batch_stats"]
     act = _activation(model.activation)
+    fused_act = model.activation if model.activation in ("elu", "relu") else None
     nl = model.nb_levels
     dt = dtype
 
@@ -98,7 +101,8 @@ def fast_unet_forward(model: UNet3D, variables, x, interpret=False,
                 xx = jnp.transpose(xx, (1, 2, 3, 0))[None]
                 cf = False
             if cf:
-                xx = act(_conv_cf(p, xx, interpret=interpret))
+                y = _conv_cf(p, xx, interpret=interpret, activation=fused_act)
+                xx = y if fused_act else act(y)
             else:
                 xx = act(_conv_cl(p, xx))
         skips[level] = (xx, cf)
@@ -139,7 +143,8 @@ def fast_unet_forward(model: UNet3D, variables, x, interpret=False,
                 xx = jnp.transpose(xx, (1, 2, 3, 0))[None]
                 cf = False
             if cf:
-                xx = act(_conv_cf(p, xx, interpret=interpret))
+                y = _conv_cf(p, xx, interpret=interpret, activation=fused_act)
+                xx = y if fused_act else act(y)
             else:
                 xx = act(_conv_cl(p, xx))
         bnp, bns = params[f"bn_up_{level}"], stats[f"bn_up_{level}"]

@@ -17,14 +17,16 @@ block_h, W) output block:
   the MXU dots it feeds);
 - multi-plane blocks (block_d > 1) amortize the z-halo: 3 planes loaded per
   output plane at block_d=1 vs 1.5 at block_d=4;
-- per output plane, the 9-tap patch matrix of each z-plane is built with
-  aligned loads + static register shifts and hit with one wide MXU dot
-  (N = block_h·W; per-row dots at N=W wasted ~3x on tile overheads),
-  accumulated in f32;
-- the z-chunked (9-tap) patch matrix keeps scratch 3x smaller than a 27-tap
-  one — the full-tap version overflowed the 16M scoped-VMEM default at
-  C_in = 72 (the decoder concat conv), which was the round-1 "256³
-  blockade".
+- INPUT-STATIONARY z accumulation: each slab plane's 9-tap patch matrix is
+  built ONCE (aligned loads + static register shifts) and hit with ONE wide
+  MXU dot against the z-stacked weights (M = 3·C_out rows instead of 3
+  separate M = C_out dots — 24-row dots left 5/6 of the MXU's 128 PE rows
+  idle; this tripled measured throughput), then the three (C_out, N) slices
+  scatter-accumulate into 3 rolling f32 plane accumulators; edge planes use
+  partial weight stacks so no FLOPs are wasted on the z-halo;
+- the 9-tap patch matrix keeps scratch 3x smaller than a 27-tap one — the
+  full-tap version overflowed the 16M scoped-VMEM default at C_in = 72 (the
+  decoder concat conv), which was the round-1 "256³ blockade".
 
 Mosaic constraints baked in (each cost a compile attempt): values can't be
 dynamically sliced (slice refs via pl.ds), dynamic sublane starts must be
@@ -51,7 +53,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 def pick_blocks(cin, cout, d, h, w, budget=12 * 2 ** 20):
     """(block_d, block_h) whose kernel scratch (double-buffered slab +
-    patches + f32 acc + out) fits comfortably in scoped VMEM."""
+    patches + rolling f32 acc + double-buffered out) fits in scoped VMEM."""
     wp = ((w + 2 + 127) // 128) * 128
     for td, th in ((4, 32), (4, 16), (2, 32), (2, 16), (4, 8), (2, 8),
                    (1, 16), (1, 8)):
@@ -59,15 +61,15 @@ def pick_blocks(cin, cout, d, h, w, budget=12 * 2 ** 20):
             continue
         need = (2 * cin * (td + 2) * (th + 8) * wp * 2    # slab x2
                 + 9 * cin * th * w * 2                    # patches
-                + cout * th * w * 4                       # f32 acc
-                + cout * td * th * w * 2)                 # out block
+                + 3 * cout * th * w * 4                   # rolling f32 acc
+                + 2 * cout * td * th * w * 2)             # out block x2
         if need <= budget:
             return td, th
     return 1, 8
 
 
 def _kernel(x_hbm, w_ref, out_hbm, slab, patches, acc, obuf, isem, osem, *,
-            cin, cout, wp, td, th, w_out, n_db, n_hb):
+            cin, cout, wp, td, th, w_out, n_db, n_hb, has_bias, activation):
     # The grid is over PAIRS of output blocks so both double-buffer slots are
     # indexed STATICALLY (a traced slot index turns every slab access into a
     # whole-buffer dynamic-slice copy — measured 10x slower).
@@ -96,6 +98,11 @@ def _kernel(x_hbm, w_ref, out_hbm, slab, patches, acc, obuf, isem, osem, *,
         in_dma(0, 0).start()
         if nsteps > 1:
             in_dma(1, 1).start()
+        if has_bias:
+            # constant ones row: with the bias/3 column appended to each
+            # z-weight slab, the dot adds bias exactly once per output plane
+            # (every plane receives all 3 dz contributions)
+            patches[9 * cin, :, :] = jnp.ones((th, w_out), patches.dtype)
 
     def process(slot, flat):
         in_dma(slot, flat).wait()
@@ -105,33 +112,50 @@ def _kernel(x_hbm, w_ref, out_hbm, slab, patches, acc, obuf, isem, osem, *,
         def _():
             out_dma(slot, flat - 2).wait()
 
-        for dp in range(td):
-            for dz in range(3):
-                for tap in range(9):
-                    dy, dx = divmod(tap, 3)
-                    u = slab[slot, :, dp + dz, :, dx:dx + w_out]
-                    patches[tap * cin:(tap + 1) * cin, :, :] = \
-                        u[:, dy:dy + th, :]
-                if w_out % 128 == 0:
-                    # one wide MXU dot per z-plane: N = th·W
-                    p2 = patches[:].reshape(9 * cin, th * w_out)
-                    contrib = jax.lax.dot_general(
-                        w_ref[dz], p2,
-                        dimension_numbers=(((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    ).reshape(cout, th, w_out)
+        # Input-stationary: each slab plane p contributes W[dz] @ patches(p)
+        # to output plane z = p - dz.  One dot per plane with the z-stacked
+        # weights (M = up to 3·cout rows — 3x the MXU row occupancy of
+        # per-dz dots), sliced to the dz range whose z is in-block, so the
+        # halo planes cost no extra FLOPs.
+        for p in range(td + 2):
+            for tap in range(9):
+                dy, dx = divmod(tap, 3)
+                u = slab[slot, :, p, :, dx:dx + w_out]
+                patches[tap * cin:(tap + 1) * cin, :, :] = \
+                    u[:, dy:dy + th, :]
+            lo_dz = max(0, p - (td - 1))
+            hi_dz = min(2, p)
+            krows = 9 * cin + (1 if has_bias else 0)
+            wrows = w_ref[lo_dz * cout:(hi_dz + 1) * cout]
+            if w_out % 128 == 0:
+                # one wide MXU dot per slab plane: N = th·W
+                p2 = patches[:].reshape(krows, th * w_out)
+                c = jax.lax.dot_general(
+                    wrows, p2,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ).reshape(-1, th, w_out)
+            else:
+                rows = [jax.lax.dot_general(
+                    wrows, patches[:, r, :],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                    for r in range(th)]
+                c = jnp.stack(rows, axis=1)
+            for dz in range(lo_dz, hi_dz + 1):
+                z = p - dz
+                contrib = c[(dz - lo_dz) * cout:(dz - lo_dz + 1) * cout]
+                if dz == 0:  # plane p = z: first contribution to out[z]
+                    acc[z % 3, :, :, :] = contrib
                 else:
-                    rows = [jax.lax.dot_general(
-                        w_ref[dz], patches[:, r, :],
-                        dimension_numbers=(((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32)
-                        for r in range(th)]
-                    contrib = jnp.stack(rows, axis=1)
-                if dz == 0:
-                    acc[:, :, :] = contrib
-                else:
-                    acc[:, :, :] = acc[:, :, :] + contrib
-            obuf[slot, :, dp, :, :] = acc[:, :, :].astype(obuf.dtype)
+                    acc[z % 3, :, :, :] = acc[z % 3, :, :, :] + contrib
+                if dz == 2:  # plane p = z + 2: out[z] complete
+                    val = acc[z % 3, :, :, :]
+                    if activation == "elu":
+                        val = jnp.where(val > 0, val, jnp.expm1(val))
+                    elif activation == "relu":
+                        val = jnp.maximum(val, 0.0)
+                    obuf[slot, :, z, :, :] = val.astype(obuf.dtype)
 
         out_dma(slot, flat).start()
         # prefetch this slot's next input (two blocks ahead)
@@ -157,12 +181,18 @@ def _kernel(x_hbm, w_ref, out_hbm, slab, patches, acc, obuf, isem, osem, *,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("block_d", "block_h", "interpret"))
-def conv3d_cf(x, w, block_d: int | None = None, block_h: int | None = None,
+                   static_argnames=("block_d", "block_h", "interpret",
+                                    "activation"))
+def conv3d_cf(x, w, bias=None, activation: str | None = None,
+              block_d: int | None = None, block_h: int | None = None,
               interpret: bool = False):
-    """SAME 3³ conv, channels-first.
+    """SAME 3³ conv, channels-first, with optional fused bias + activation.
 
-    x: (C_in, D, H, W); w: (3, 3, 3, C_in, C_out) (DHWIO, as flax).
+    x: (C_in, D, H, W); w: (3, 3, 3, C_in, C_out) (DHWIO, as flax);
+    bias: optional (C_out,) — folded into the MXU dot (ones row in the patch
+    matrix, bias/3 column per z-weight-slab); activation: None|'elu'|'relu',
+    applied in the f32 epilogue before the bf16 store — fusing both saves a
+    full HBM round trip per conv versus a separate XLA elementwise pass.
     Returns (C_out, D, H, W) in x.dtype.  Block sizes are auto-picked for
     VMEM unless given.
     """
@@ -177,24 +207,32 @@ def conv3d_cf(x, w, block_d: int | None = None, block_h: int | None = None,
     assert th % 8 == 0, "block_h must be a multiple of 8"
     wp = ((wdim + 2 + 127) // 128) * 128
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 7), (1, wp - wdim - 1)))
-    # (3, cout, 9*cin): one weight slab per z-tap, rows (dy*3+dx)*cin + ci
-    wt = jnp.transpose(w.reshape(3, 9 * cin, cout), (0, 2, 1))
+    # (3*cout, 9*cin [+1]): z-stacked weight slabs, row dz*cout + co,
+    # column (dy*3+dx)*cin + ci; optional last column = bias/3
+    wt = jnp.transpose(w.reshape(3, 9 * cin, cout), (0, 2, 1)) \
+        .reshape(3 * cout, 9 * cin)
+    has_bias = bias is not None
+    if has_bias:
+        bcol = jnp.tile(jnp.asarray(bias).reshape(-1, 1) / 3.0, (3, 1))
+        wt = jnp.concatenate([wt, bcol.astype(wt.dtype)], axis=1)
+    krows = 9 * cin + (1 if has_bias else 0)
 
     n_db, n_hb = d // td, h // th
     out = pl.pallas_call(
         functools.partial(_kernel, cin=cin, cout=cout, wp=wp, td=td, th=th,
-                          w_out=wdim, n_db=n_db, n_hb=n_hb),
+                          w_out=wdim, n_db=n_db, n_hb=n_hb,
+                          has_bias=has_bias, activation=activation),
         grid=((n_db * n_hb + 1) // 2,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),  # stay in HBM
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # (3, cout, 9*cin) weights
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # z-stacked weights
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         out_shape=jax.ShapeDtypeStruct((cout, d, h, wdim), x.dtype),
         scratch_shapes=[
             pltpu.VMEM((2, cin, td + 2, th + 8, wp), x.dtype),
-            pltpu.VMEM((9 * cin, th, wdim), x.dtype),
-            pltpu.VMEM((cout, th, wdim), jnp.float32),
+            pltpu.VMEM((krows, th, wdim), x.dtype),
+            pltpu.VMEM((3, cout, th, wdim), jnp.float32),
             pltpu.VMEM((2, cout, td, th, wdim), x.dtype),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),

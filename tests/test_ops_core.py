@@ -186,6 +186,33 @@ def test_pallas_conv3d_matches_xla(rng):
     np.testing.assert_allclose(ours, oracle, atol=1e-5)
 
 
+@pytest.mark.parametrize("activation", ["elu", "relu", None])
+def test_pallas_conv3d_fused_bias_activation(rng, activation):
+    """The fused bias + activation epilogue (bias as an extra ones-row MXU
+    column, activation in the f32 epilogue) equals conv + bias + act."""
+    import jax
+    import jax.lax as lax
+
+    from synthsr_tpu.ops.conv_pallas import conv3d_cf
+
+    x = rng.normal(size=(8, 8, 16, 24)).astype(np.float32)
+    w = rng.normal(size=(3, 3, 3, 8, 16)).astype(np.float32) * 0.1
+    b = rng.normal(size=(16,)).astype(np.float32)
+    ours = np.asarray(conv3d_cf(jnp.asarray(x), jnp.asarray(w),
+                                bias=jnp.asarray(b), activation=activation,
+                                interpret=True))
+    xl = jnp.transpose(jnp.asarray(x), (1, 2, 3, 0))[None]
+    oracle = lax.conv_general_dilated(
+        xl, jnp.asarray(w), (1, 1, 1), "SAME",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))[0] + b
+    if activation == "elu":
+        oracle = jax.nn.elu(oracle)
+    elif activation == "relu":
+        oracle = jax.nn.relu(oracle)
+    oracle = np.transpose(np.asarray(oracle), (3, 0, 1, 2))
+    np.testing.assert_allclose(ours, oracle, atol=1e-5)
+
+
 def test_stencil_warp_equals_gather_warp(rng):
     """For |shift| <= radius the stencil warp must equal transform() exactly,
     including at volume edges (clip == edge-padding equivalence)."""
