@@ -192,6 +192,7 @@ def test_h5_roundtrip_predict_equivalence(tmp_path, random_weights_h5):
     pred2.variables = variables
     pred2.disable_flipping = False
     pred2.ct = False
+    pred2.use_fast = False
     pred2._jitted = {}
     p_native = str(tmp_path / "native.nii.gz")
     pred2.predict_file(pin, p_native)
