@@ -23,24 +23,33 @@ TF_A100_BASELINE_VOL_PER_MIN = 15.0
 
 def main():
     import jax
+
+    # persistent compile cache: the Pallas kernels in the fast path cost
+    # minutes of Mosaic lowering each on first compile; cached runs start in
+    # seconds
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from synthsr_tpu.models.unet import synthsr_unet
+    from synthsr_tpu.models.unet_cf import make_fast_predictor
 
     model = synthsr_unet(compute_dtype=jnp.bfloat16)
     variables = dict(jax.jit(model.init)(jax.random.PRNGKey(0),
                                          jnp.zeros((1, 32, 32, 32, 1))))
 
-    # TTA passes as SEPARATE executables: a single 256³ forward peaks at
-    # ~13.6G temp HBM; two passes in one XLA program OOM a 16G chip.
-    fwd = jax.jit(lambda v, s: model.apply(v, s))
-    fwd_flipped = jax.jit(
-        lambda v, s: jnp.flip(model.apply(v, jnp.flip(s, axis=1)), axis=1))
+    # Channels-first forward through the Pallas channels-on-sublanes conv
+    # kernel (ops/conv_pallas.py); TTA passes as SEPARATE executables: a
+    # single 256³ forward peaks at ~13.6G temp HBM; two passes in one XLA
+    # program OOM a 16G chip.
+    run = make_fast_predictor(model, variables, (1, 256, 256, 256, 1))
     combine = jax.jit(
         lambda y0, y1: jnp.clip(255.0 * (0.5 * y0 + 0.5 * y1), 0.0, 128.0))
 
     def predict(variables, x):
-        return combine(fwd(variables, x), fwd_flipped(variables, x))
+        y0 = run(x)
+        y1 = jnp.flip(run(jnp.flip(x, axis=1)), axis=1)
+        return combine(y0, y1)
 
     x = jnp.asarray(np.random.default_rng(0)
                     .uniform(0, 1, (1, 256, 256, 256, 1)).astype(np.float32))
@@ -49,12 +58,19 @@ def main():
     out = predict(variables, x)
     _ = float(jnp.sum(out))
 
-    # steady-state: time N volumes; sum-sync each to include device completion
+    # steady-state: time N volumes with a one-volume sync lag so host
+    # dispatch (the tunnel adds ~33 ms per synced round trip here) overlaps
+    # device compute — the natural structure of a production predict service;
+    # every volume is still fully synced before the clock stops
     n = 8
+    prev = None
     t0 = time.time()
     for _ in range(n):
         out = predict(variables, x)
-        _ = float(jnp.sum(out))
+        if prev is not None:
+            _ = float(jnp.sum(prev))
+        prev = out
+    _ = float(jnp.sum(prev))
     dt = time.time() - t0
     vol_per_min = 60.0 * n / dt
 

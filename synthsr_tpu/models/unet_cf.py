@@ -16,7 +16,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..ops.conv_pallas import conv3d_cf
+from ..ops.conv_pallas import (_plane_layout, conv3d_cf, conv3d_cf_grouped,
+                               conv3d_cf_planes)
 from .unet import UNet3D, _activation, upsample_nearest
 
 
@@ -39,15 +40,55 @@ def _maxpool_cf(x):
                                  (1, 2, 2, 2), "SAME")
 
 
+def _split_group(cin, cout, d, h, wdim):
+    """Largest even channel-group size whose plane-kernel layout compiles."""
+    for g in (48, 40, 32, 24, 16, 8):
+        if cin % g == 0 and _plane_layout(g, cout, d, h, wdim) is not None:
+            return g
+    return None
+
+
 def _conv_cf(p, x, interpret=False, activation=None):
     # optimization barriers keep XLA from folding the pallas output into
     # VMEM-resident fusions (full-graph scheduling OOMs otherwise); bias and
     # activation run fused inside the kernel epilogue (saves one full HBM
-    # round trip per conv)
+    # round trip per conv).  Prefer the plane-streaming kernel (one DMA per
+    # input plane, no halo re-reads, no host pad pass) wherever its layout
+    # fits; for big-cin convs past its compile-cost cap (the 72ch decoder
+    # concat), split the input channels into equal groups by conv LINEARITY
+    # — every group reuses ONE compiled executable — and let XLA fuse the
+    # partial sums + bias + activation into a single pass.  Fall back to the
+    # blocked kernel otherwise.
     x = jax.lax.optimization_barrier(x)
-    y = conv3d_cf(x, p["kernel"].astype(x.dtype), bias=p["bias"],
-                  activation=activation, interpret=interpret)
+    cin, d, h, wdim = x.shape
+    kern = p["kernel"]
+    cout = kern.shape[-1]
+    act = _activation_fn(activation)
+    if _plane_layout(cin, cout, d, h, wdim) is not None:
+        y = conv3d_cf_planes(x, kern.astype(x.dtype), bias=p["bias"],
+                             activation=activation, interpret=interpret)
+    elif wdim % 128 == 0 and d % 4 == 0 and \
+            _split_group(cin, cout, d, h, wdim) is not None:
+        y = conv3d_cf_grouped(x, kern, bias=p["bias"], activation=activation,
+                              group=_split_group(cin, cout, d, h, wdim),
+                              interpret=interpret)
+    elif cin <= 48:
+        y = conv3d_cf(x, kern.astype(x.dtype), bias=p["bias"],
+                      activation=activation, interpret=interpret)
+    else:
+        # big-cin blocked kernel: run UNFUSED (the fused 72ch variant never
+        # finished Mosaic compile); bias + activation as one XLA pass
+        y = conv3d_cf(x, kern.astype(x.dtype), interpret=interpret)
+        y = act(y + p["bias"].astype(y.dtype).reshape(-1, 1, 1, 1))
     return jax.lax.optimization_barrier(y)
+
+
+def _activation_fn(activation):
+    if activation == "elu":
+        return jax.nn.elu
+    if activation == "relu":
+        return jax.nn.relu
+    return lambda v: v
 
 
 def _conv_cl(p, x):
@@ -57,11 +98,19 @@ def _conv_cl(p, x):
     return y + p["bias"].astype(y.dtype)
 
 
-def _pallas_ok(cin, spatial):
+def _pallas_ok(cin, cout, spatial):
+    # direct plane-streaming layout, or a channel-group split onto one
+    # (covers the 72ch/144ch decoder concats); else the blocked kernel:
     # W >= 128 for lane efficiency, H divisible by the block, VMEM-bounded
     # patch matrix (9*cin x block_h x W in bf16 must stay well under VMEM)
-    return (cin <= 96 and spatial[2] >= 128 and spatial[1] % 16 == 0
-            and cin * spatial[2] <= 96 * 256)
+    d, h, w = spatial
+    if _plane_layout(cin, cout, d, h, w) is not None:
+        return True
+    if w % 128 == 0 and d % 4 == 0 and \
+            _split_group(cin, cout, d, h, w) is not None:
+        return True
+    return (cin <= 96 and w >= 128 and h % 16 == 0
+            and cin * w <= 96 * 256)
 
 
 def fast_unet_forward(model: UNet3D, variables, x, interpret=False,
@@ -97,7 +146,7 @@ def fast_unet_forward(model: UNet3D, variables, x, interpret=False,
         for conv in range(model.nb_conv_per_level):
             p = params[f"conv_downarm_{level}_{conv}"]
             cin = p["kernel"].shape[3]
-            if cf and not _pallas_ok(cin, xx.shape[1:]):
+            if cf and not _pallas_ok(cin, p["kernel"].shape[-1], xx.shape[1:]):
                 xx = jnp.transpose(xx, (1, 2, 3, 0))[None]
                 cf = False
             if cf:
@@ -139,7 +188,7 @@ def fast_unet_forward(model: UNet3D, variables, x, interpret=False,
         for conv in range(model.nb_conv_per_level):
             p = params[f"conv_uparm_{nl + level}_{conv}"]
             cin = p["kernel"].shape[3]
-            if cf and not _pallas_ok(cin, xx.shape[1:]):
+            if cf and not _pallas_ok(cin, p["kernel"].shape[-1], xx.shape[1:]):
                 xx = jnp.transpose(xx, (1, 2, 3, 0))[None]
                 cf = False
             if cf:

@@ -28,16 +28,37 @@ block_h, W) output block:
   full-tap version overflowed the 16M scoped-VMEM default at C_in = 72 (the
   decoder concat conv), which was the round-1 "256³ blockade".
 
+Two kernels share the channels-on-sublanes formulation:
+
+- ``conv3d_cf`` (blocked, v5): grid over (D, H) blocks, double-buffered
+  halo-slab DMA.  Works for any W; pays (td+2)/td x (th+8)/th halo re-reads
+  and a 512-byte strided-chunk DMA pattern that caps effective bandwidth.
+- ``conv3d_cf_planes`` (plane-streaming, v6): grid over D planes in groups
+  of 4; each plane is DMA'd ONCE as contiguous (H, W) chunks into an aligned
+  offset of a zero-bordered VMEM slot (no host pad pass, no halo re-reads,
+  HBM traffic = the theoretical 2x volume bytes), with input-stationary
+  accumulation into 4 rolling full-plane f32 accumulators (4 so the ring
+  indices stay static under the unroll).  Requires W % 128 == 0, D % 4 == 0.
+  Measured (256^3, v5e, true device time): 24ch 22.7 -> 20.8 ms,
+  1ch -> 11.9 ms; the kernel is VPU-bound on patch building + acc traffic.
+- ``conv3d_cf_grouped``: big-cin convs split over equal channel groups
+  (conv linearity) that share ONE compiled executable, because Mosaic
+  compile time blows up superlinearly in the unrolled vector-op count
+  (~ cin*h*w / vreg): cin=24 at 256^2-lane planes lowers in ~5 min, cin=72
+  never finished (>20 min, multi-GB MLIR).  _plane_layout enforces the cap.
+
 Mosaic constraints baked in (each cost a compile attempt): values can't be
 dynamically sliced (slice refs via pl.ds), dynamic sublane starts must be
-8-aligned (hence the +8 H padding and static dy shifts), flattens/implicit
-reshapes need 128-aligned lane dims (hence the W % 128 gate on the wide-dot
-path), DMA memref slices need 128-aligned minor dims (hence W padded to a
-128 multiple).
+8-aligned (hence the +8 H padding and static dy shifts in v5; v6 lands
+planes at row 8 / lane 128 so every DMA offset is aligned), flattens need
+128-aligned lane dims (hence the W % 128 gate on the wide-dot path), DMA
+memref slices need 128-aligned minor dims, and jnp.expm1 has no lowering
+(elu uses exp - 1, which differs only below bf16 resolution for x < 0).
 
 Used by models/unet_cf.py for the fast channels-first inference forward; the
 predict bench runs through it.  Correctness: interpret-mode oracle vs
-jax.lax.conv (tests/test_ops_core.py) + TPU-vs-XLA bf16 check.
+jax.lax.conv (tests/test_ops_core.py) + TPU-vs-XLA check (bf16 tolerance:
+the MXU's default f32 matmul runs bf16 passes).
 """
 
 from __future__ import annotations
@@ -68,8 +89,9 @@ def pick_blocks(cin, cout, d, h, w, budget=12 * 2 ** 20):
     return 1, 8
 
 
-def _kernel(x_hbm, w_ref, out_hbm, slab, patches, acc, obuf, isem, osem, *,
-            cin, cout, wp, td, th, w_out, n_db, n_hb, has_bias, activation):
+def _kernel(x_hbm, w_ref, out_hbm, slab, patches, acc, obuf, isem,
+            osem, *, cin, cout, wp, td, th, w_out, n_db, n_hb, has_bias,
+            activation, n_streams):
     # The grid is over PAIRS of output blocks so both double-buffer slots are
     # indexed STATICALLY (a traced slot index turns every slab access into a
     # whole-buffer dynamic-slice copy — measured 10x slower).
@@ -79,19 +101,44 @@ def _kernel(x_hbm, w_ref, out_hbm, slab, patches, acc, obuf, isem, osem, *,
     def indices(flat):
         return flat // n_hb, jax.lax.rem(flat, n_hb)
 
+    # each logical copy is split over the channel axis into n_streams
+    # parallel DMAs with separate semaphores: one async_copy maxes out a
+    # single DMA stream (~175 GB/s measured on the halo-slab pattern), while
+    # the chip's aggregate HBM bandwidth needs several engines engaged
+    class _group:
+        def __init__(self, copies):
+            self.copies = copies
+
+        def start(self):
+            for c in self.copies:
+                c.start()
+
+        def wait(self):
+            for c in self.copies:
+                c.wait()
+
+    def _split(n):
+        q, r = divmod(n, n_streams)
+        sizes = [q + (1 if i < r else 0) for i in range(n_streams)]
+        starts = [sum(sizes[:i]) for i in range(n_streams)]
+        return [(st, sz) for st, sz in zip(starts, sizes) if sz]
+
     def in_dma(slot, flat):
         db, hb = indices(flat)
         h0 = pl.multiple_of(hb * th, 8)
-        return pltpu.make_async_copy(
-            x_hbm.at[:, pl.ds(db * td, td + 2), pl.ds(h0, th + 8)],
-            slab.at[slot], isem.at[slot])
+        return _group([pltpu.make_async_copy(
+            x_hbm.at[pl.ds(st, sz), pl.ds(db * td, td + 2), pl.ds(h0, th + 8)],
+            slab.at[slot, pl.ds(st, sz)], isem.at[slot, k])
+            for k, (st, sz) in enumerate(_split(cin))])
 
     def out_dma(slot, flat):
         db, hb = indices(flat)
         h0 = pl.multiple_of(hb * th, 8)
-        return pltpu.make_async_copy(
-            obuf.at[slot],
-            out_hbm.at[:, pl.ds(db * td, td), pl.ds(h0, th)], osem.at[slot])
+        return _group([pltpu.make_async_copy(
+            obuf.at[slot, pl.ds(st, sz)],
+            out_hbm.at[pl.ds(st, sz), pl.ds(db * td, td), pl.ds(h0, th)],
+            osem.at[slot, k])
+            for k, (st, sz) in enumerate(_split(cout))])
 
     @pl.when(i == 0)
     def _():
@@ -118,11 +165,11 @@ def _kernel(x_hbm, w_ref, out_hbm, slab, patches, acc, obuf, isem, osem, *,
         # per-dz dots), sliced to the dz range whose z is in-block, so the
         # halo planes cost no extra FLOPs.
         for p in range(td + 2):
-            for tap in range(9):
-                dy, dx = divmod(tap, 3)
-                u = slab[slot, :, p, :, dx:dx + w_out]
-                patches[tap * cin:(tap + 1) * cin, :, :] = \
-                    u[:, dy:dy + th, :]
+            for dy in range(3):
+                for dx in range(3):
+                    u = slab[slot, :, p, :, dx:dx + w_out]
+                    patches[(dy * 3 + dx) * cin:(dy * 3 + dx + 1) * cin,
+                            :, :] = u[:, dy:dy + th, :]
             lo_dz = max(0, p - (td - 1))
             hi_dz = min(2, p)
             krows = 9 * cin + (1 if has_bias else 0)
@@ -152,7 +199,9 @@ def _kernel(x_hbm, w_ref, out_hbm, slab, patches, acc, obuf, isem, osem, *,
                 if dz == 2:  # plane p = z + 2: out[z] complete
                     val = acc[z % 3, :, :, :]
                     if activation == "elu":
-                        val = jnp.where(val > 0, val, jnp.expm1(val))
+                        # Mosaic has no expm1 lowering; exp−1 in f32 differs
+                        # only below bf16 resolution for the x<0 branch
+                        val = jnp.where(val > 0, val, jnp.exp(val) - 1.0)
                     elif activation == "relu":
                         val = jnp.maximum(val, 0.0)
                     obuf[slot, :, z, :, :] = val.astype(obuf.dtype)
@@ -180,12 +229,331 @@ def _kernel(x_hbm, w_ref, out_hbm, slab, patches, acc, obuf, isem, osem, *,
                 out_dma(1, flat0 + 1).wait()
 
 
+def _plane_kernel(x_hbm, w_ref, out_hbm, slab, patches, acc, obuf, isem,
+                  osem, *, cin, cout, d, hdim, w_out, hp, wp, th, ns,
+                  has_bias, activation, n_streams, n_steps):
+    """Plane-streaming variant (v6): grid over D in groups of 4 planes.
+
+    Each INPUT plane is DMA'd from HBM exactly once as large contiguous
+    (H, W) chunks — the blocked kernel's (td+2)/td x (th+8)/th halo re-reads
+    and its 512-byte strided-chunk pattern (which capped effective DMA
+    bandwidth near 115 GB/s) both disappear.  The plane lands at an ALIGNED
+    offset (row 8, lane 128) inside a zero-bordered VMEM slot, so the +-1
+    halos in H and W come from static in-VMEM slices and the input needs NO
+    host-side padding pass at all; total HBM traffic is the theoretical
+    2 x volume bytes.
+
+    Input-stationary over planes: plane p's 9-tap patch matrix is hit with
+    one 3-z-stacked dot; the three (C_out, N) slices accumulate into 4
+    rolling full-plane f32 accumulators (4, not 3, so slot indices p+-1 mod 4
+    stay STATIC under the 4-plane grid unroll).  Output plane z = p-1
+    completes with plane p's dz=2 contribution (z = D-1 with plane D-1's
+    dz=1) and leaves through a double-buffered full-plane store.
+    """
+    i = pl.program_id(0)
+
+    class _group:
+        def __init__(self, copies):
+            self.copies = copies
+
+        def start(self):
+            for c in self.copies:
+                c.start()
+
+        def wait(self):
+            for c in self.copies:
+                c.wait()
+
+    def _split(n):
+        q, r = divmod(n, n_streams)
+        sizes = [q + (1 if j < r else 0) for j in range(n_streams)]
+        starts = [sum(sizes[:j]) for j in range(n_streams)]
+        return [(st, sz) for st, sz in zip(starts, sizes) if sz]
+
+    def in_dma(slot, p):
+        return _group([pltpu.make_async_copy(
+            x_hbm.at[pl.ds(st, sz), p],
+            slab.at[slot, pl.ds(st, sz), pl.ds(8, hdim), pl.ds(128, w_out)],
+            isem.at[slot, j]) for j, (st, sz) in enumerate(_split(cin))])
+
+    def out_dma(oslot, z):
+        return _group([pltpu.make_async_copy(
+            obuf.at[oslot, pl.ds(st, sz)],
+            out_hbm.at[pl.ds(st, sz), z],
+            osem.at[oslot, j]) for j, (st, sz) in enumerate(_split(cout))])
+
+    def act(val):
+        if activation == "elu":
+            # Mosaic has no expm1 lowering; exp-1 in f32 differs only below
+            # bf16 resolution for the x<0 branch
+            return jnp.where(val > 0, val, jnp.exp(val) - 1.0)
+        if activation == "relu":
+            return jnp.maximum(val, 0.0)
+        return val
+
+    @pl.when(i == 0)
+    def _():
+        # zero-border the slots ONCE: every DMA writes only the interior
+        # (rows 8..8+H-1, lanes 128..128+W-1), so the borders stay zero and
+        # supply the SAME-conv halo for free
+        for s in range(ns):
+            slab[s] = jnp.zeros((cin, hp, wp), slab.dtype)
+        # K is padded to a multiple of 8: rows beyond the taps (+ones) stay
+        # zero forever (chunk writes only touch rows < 9*cin), matching the
+        # zero columns appended to the weight matrix
+        patches[9 * cin:, :, :] = jnp.zeros(
+            (patches.shape[0] - 9 * cin, th, w_out), patches.dtype)
+        if has_bias:
+            patches[9 * cin, :, :] = jnp.ones((th, w_out), patches.dtype)
+        for s in range(min(ns, d)):
+            in_dma(s, s).start()
+
+    n_chunks = hdim // th
+    krows = patches.shape[0]
+
+    for k in range(4):
+        s = k % ns
+        p = 4 * i + k
+        z_prev = p - 1  # completes this substep via dz=2
+
+        def substep(k=k, s=s, p=p, z_prev=z_prev):
+            in_dma(s, p).wait()
+            # obuf slot for z_prev: previous occupant (z_prev - 2) must have
+            # drained before this substep overwrites it
+            o_prev = (k - 1) % 2
+
+            def wait_prev():
+                out_dma(o_prev, z_prev - 2).wait()
+            if k >= 3:
+                wait_prev()
+            else:
+                pl.when(z_prev >= 2)(wait_prev)
+            if k == 3:
+                # out[d-1] also completes here (its dz=2 source, plane d,
+                # does not exist); its obuf slot is k % 2
+                @pl.when(i == n_steps - 1)
+                def _():
+                    out_dma(k % 2, d - 3).wait()
+
+            for c_idx in range(n_chunks):
+                h0 = c_idx * th
+                for dy in range(3):
+                    for dx in range(3):
+                        u = slab[s, :, 7 + h0 + dy:7 + h0 + dy + th,
+                                 127 + dx:127 + dx + w_out]
+                        patches[(dy * 3 + dx) * cin:
+                                (dy * 3 + dx + 1) * cin, :, :] = u
+                if w_out % 128 == 0:
+                    p2 = patches[:].reshape(krows, th * w_out)
+                    c = jax.lax.dot_general(
+                        w_ref[:], p2,
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    ).reshape(3 * cout, th, w_out)
+                else:
+                    rows = [jax.lax.dot_general(
+                        w_ref[:], patches[:, r, :],
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                        for r in range(th)]
+                    c = jnp.stack(rows, axis=1)
+
+                # dz=0 -> out[p+1]: always an overwrite (first contribution);
+                # a p+1 == d garbage write is dead — every slot use begins
+                # with its own dz=0 overwrite
+                acc[(k + 1) % 4, :, h0:h0 + th, :] = c[0:cout]
+
+                # dz=1 -> out[p]: add; out[0] has no dz=0 source, so its
+                # first contribution is an overwrite
+                upd1 = c[cout:2 * cout]
+                if k == 0:
+                    @pl.when(i == 0)
+                    def _():
+                        acc[0, :, h0:h0 + th, :] = upd1
+
+                    @pl.when(i > 0)
+                    def _():
+                        acc[0, :, h0:h0 + th, :] = \
+                            acc[0, :, h0:h0 + th, :] + upd1
+                else:
+                    acc[k, :, h0:h0 + th, :] = \
+                        acc[k, :, h0:h0 + th, :] + upd1
+
+                # dz=2 -> out[p-1] complete: epilogue straight to obuf
+                def emit(h0=h0, c=c):
+                    val = acc[(k - 1) % 4, :, h0:h0 + th, :] \
+                        + c[2 * cout:3 * cout]
+                    obuf[o_prev, :, h0:h0 + th, :] = \
+                        act(val).astype(obuf.dtype)
+                if k == 0:
+                    pl.when(i > 0)(emit)
+                else:
+                    emit()
+
+                if k == 3:
+                    # out[d-1] completes with this plane's dz=1
+                    @pl.when(i == n_steps - 1)
+                    def _():
+                        val = acc[3, :, h0:h0 + th, :]
+                        obuf[1, :, h0:h0 + th, :] = \
+                            act(val).astype(obuf.dtype)
+
+            def start_out():
+                out_dma(o_prev, z_prev).start()
+            if k == 0:
+                pl.when(i > 0)(start_out)
+            else:
+                start_out()
+            if k == 3:
+                @pl.when(i == n_steps - 1)
+                def _():
+                    out_dma(1, d - 1).start()
+
+            @pl.when(p + ns < d)
+            def _():
+                in_dma(s, p + ns).start()
+
+        substep()
+
+    @pl.when(i == n_steps - 1)
+    def _():
+        out_dma(0, d - 2).wait()
+        out_dma(1, d - 1).wait()
+
+
+def _pad8(n):
+    return ((n + 7) // 8) * 8
+
+
+def _plane_layout(cin, cout, d, h, w, dtype_bytes=2):
+    """(th, ns, hp, wp, vmem_bytes) for the plane-streaming kernel, or None
+    if the shape does not qualify."""
+    if w % 128 != 0 or d % 4 != 0:
+        return None
+    # Mosaic compile time scales with the unrolled vector-op count
+    # (~ cin*h*w / vreg): cin=24 at 256^2 planes lowers in ~5 min, cin=72
+    # NEVER finished (>20 min, multi-GB MLIR).  Shapes over the cap must be
+    # channel-split by the caller (conv linearity) onto compiled-once groups.
+    if cin * h * w > 24 * 256 * 256:
+        return None
+    hp = ((h + 9 + 7) // 8) * 8
+    wp = w + 256
+    # th=32 measured fastest at 256^3 (th=64's bigger patch matrix was ~9ms
+    # slower; compile time is ~invariant in th since the unrolled vector-op
+    # count ~ cin*h*w / vreg doesn't depend on the chunking)
+    for th in (32, 64, 16, 8):
+        if h % th:
+            continue
+        for ns in (4, 2):
+            krows = _pad8(9 * cin + 1)
+            need = (ns * cin * hp * wp * dtype_bytes          # plane slots
+                    + krows * th * w * dtype_bytes            # patches
+                    + 4 * cout * h * w * 4                    # f32 acc ring
+                    + 2 * cout * h * w * dtype_bytes)         # out planes x2
+            if need <= 90 * 2 ** 20:
+                return th, ns, hp, wp, need
+    return None
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "activation", "n_streams"))
+def conv3d_cf_planes(x, w, bias=None, activation: str | None = None,
+                     interpret: bool = False, n_streams: int = 2):
+    """SAME 3-cubed conv, channels-first, plane-streaming (see _plane_kernel).
+
+    Same contract as conv3d_cf; requires W % 128 == 0 and D % 4 == 0 (use
+    conv3d_cf otherwise).  The input is consumed UNPADDED — no host pad pass.
+    """
+    cin, d, h, wdim = x.shape
+    cout = w.shape[-1]
+    assert w.shape[:3] == (3, 3, 3)
+    layout = _plane_layout(cin, cout, d, h, wdim)
+    assert layout is not None, \
+        f"shape {x.shape}->{cout} does not fit the plane-streaming kernel"
+    th, ns, hp, wp, _ = layout
+
+    wt = jnp.transpose(w.reshape(3, 9 * cin, cout), (0, 2, 1)) \
+        .reshape(3 * cout, 9 * cin)
+    nst = max(1, min(n_streams, cin, cout))
+    has_bias = bias is not None
+    if has_bias:
+        # bias rides the dz=1 (center-tap) rows ONLY: unlike the blocked
+        # kernel, edge output planes here receive just 2 of 3 dz dots, but
+        # every out[z]'s center source x[z] always exists, so a center-tap
+        # bias is added exactly once everywhere
+        b = jnp.asarray(bias).reshape(-1, 1)
+        bcol = jnp.concatenate([jnp.zeros_like(b), b, jnp.zeros_like(b)])
+        wt = jnp.concatenate([wt, bcol.astype(wt.dtype)], axis=1)
+    krows = _pad8(9 * cin + 1)
+    wt = jnp.pad(wt, ((0, 0), (0, krows - wt.shape[1])))
+
+    n_steps = d // 4
+    out = pl.pallas_call(
+        functools.partial(_plane_kernel, cin=cin, cout=cout, d=d, hdim=h,
+                          w_out=wdim, hp=hp, wp=wp, th=th, ns=ns,
+                          has_bias=has_bias, activation=activation,
+                          n_streams=nst, n_steps=n_steps),
+        grid=(n_steps,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+        out_shape=jax.ShapeDtypeStruct((cout, d, h, wdim), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((ns, cin, hp, wp), x.dtype),
+            pltpu.VMEM((krows, th, wdim), x.dtype),
+            pltpu.VMEM((4, cout, h, wdim), jnp.float32),
+            pltpu.VMEM((2, cout, h, wdim), x.dtype),
+            pltpu.SemaphoreType.DMA((ns, nst)),
+            pltpu.SemaphoreType.DMA((2, nst)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=interpret,
+    )(x, wt.astype(x.dtype))
+    return out
+
+
+def conv3d_cf_grouped(x, w, bias=None, activation: str | None = None,
+                      group: int | None = None, interpret: bool = False):
+    """Big-cin SAME 3-cubed conv as a sum of channel-group partial convs.
+
+    Convolution is linear in the input channels, so a conv whose cin is past
+    the plane kernel's compile-cost cap splits into equal groups that all
+    share ONE compiled executable; the partial sums plus bias + activation
+    fuse into a single XLA elementwise pass.  ``group`` must divide cin and
+    each group's plane layout must qualify (auto-picked when None).
+    """
+    cin, d, h, wdim = x.shape
+    cout = w.shape[-1]
+    if group is None:
+        for g in (48, 40, 32, 24, 16, 8):
+            if cin % g == 0 and _plane_layout(g, cout, d, h, wdim) is not None:
+                group = g
+                break
+    assert group is not None and cin % group == 0
+    y = None
+    for st in range(0, cin, group):
+        t = conv3d_cf_planes(x[st:st + group],
+                             w[:, :, :, st:st + group, :].astype(x.dtype),
+                             interpret=interpret)
+        y = t if y is None else y + t
+    if bias is not None:
+        y = y + jnp.asarray(bias).astype(y.dtype).reshape(-1, 1, 1, 1)
+    if activation == "elu":
+        y = jax.nn.elu(y)
+    elif activation == "relu":
+        y = jax.nn.relu(y)
+    return y
+
+
 @functools.partial(jax.jit,
                    static_argnames=("block_d", "block_h", "interpret",
-                                    "activation"))
+                                    "activation", "n_streams"))
 def conv3d_cf(x, w, bias=None, activation: str | None = None,
               block_d: int | None = None, block_h: int | None = None,
-              interpret: bool = False):
+              interpret: bool = False, n_streams: int = 2):
     """SAME 3³ conv, channels-first, with optional fused bias + activation.
 
     x: (C_in, D, H, W); w: (3, 3, 3, C_in, C_out) (DHWIO, as flax);
@@ -205,12 +573,18 @@ def conv3d_cf(x, w, bias=None, activation: str | None = None,
     assert d % td == 0, f"D={d} must be divisible by block_d={td}"
     assert h % th == 0, f"H={h} must be divisible by block_h={th}"
     assert th % 8 == 0, "block_h must be a multiple of 8"
+    # W is padded to a 128 multiple for the +2 halo (DMA memref slices need
+    # 128-aligned minor dims); an un-padded variant staging dy-rows through a
+    # zero-bordered VMEM buffer measured NO faster at 24ch (the bottleneck is
+    # the strided-chunk DMA pattern, not bytes) and blew Mosaic compile time
+    # past 14 min at the 72ch decoder conv — rejected.
     wp = ((wdim + 2 + 127) // 128) * 128
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 7), (1, wp - wdim - 1)))
     # (3*cout, 9*cin [+1]): z-stacked weight slabs, row dz*cout + co,
     # column (dy*3+dx)*cin + ci; optional last column = bias/3
     wt = jnp.transpose(w.reshape(3, 9 * cin, cout), (0, 2, 1)) \
         .reshape(3 * cout, 9 * cin)
+    ns = max(1, min(n_streams, cin, cout))
     has_bias = bias is not None
     if has_bias:
         bcol = jnp.tile(jnp.asarray(bias).reshape(-1, 1) / 3.0, (3, 1))
@@ -221,7 +595,8 @@ def conv3d_cf(x, w, bias=None, activation: str | None = None,
     out = pl.pallas_call(
         functools.partial(_kernel, cin=cin, cout=cout, wp=wp, td=td, th=th,
                           w_out=wdim, n_db=n_db, n_hb=n_hb,
-                          has_bias=has_bias, activation=activation),
+                          has_bias=has_bias, activation=activation,
+                          n_streams=ns),
         grid=((n_db * n_hb + 1) // 2,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),  # stay in HBM
@@ -234,8 +609,8 @@ def conv3d_cf(x, w, bias=None, activation: str | None = None,
             pltpu.VMEM((krows, th, wdim), x.dtype),
             pltpu.VMEM((3, cout, th, wdim), jnp.float32),
             pltpu.VMEM((2, cout, td, th, wdim), x.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2, ns)),
+            pltpu.SemaphoreType.DMA((2, ns)),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),

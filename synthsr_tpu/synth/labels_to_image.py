@@ -61,6 +61,13 @@ def get_shapes(labels_shape, output_shape, atlas_res, target_res, padding_margin
                 print(f"output shape {output_shape} not divisible by "
                       f"{output_div_by_n}, changed to {tmp}")
                 output_shape = tmp
+            if any(s == 0 for s in output_shape):
+                # the reference's 'lower' rounding silently yields 0 here and
+                # crashes deep in the graph; fail with guidance instead
+                raise ValueError(
+                    f"output_shape rounds down to {output_shape}: each dim "
+                    f"must be at least output_div_by_n={output_div_by_n} "
+                    f"(2^(n_levels-1) of the U-Net)")
         if resample_factor is not None:
             cropping_shape = [int(np.around(output_shape[i] / resample_factor[i], 0))
                               for i in range(n_dims)]

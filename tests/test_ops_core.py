@@ -186,16 +186,18 @@ def test_pallas_conv3d_matches_xla(rng):
     np.testing.assert_allclose(ours, oracle, atol=1e-5)
 
 
-@pytest.mark.parametrize("activation", ["elu", "relu", None])
-def test_pallas_conv3d_fused_bias_activation(rng, activation):
+@pytest.mark.parametrize("activation,width", [("elu", 24), ("relu", 24),
+                                              (None, 24), ("elu", 128)])
+def test_pallas_conv3d_fused_bias_activation(rng, activation, width):
     """The fused bias + activation epilogue (bias as an extra ones-row MXU
-    column, activation in the f32 epilogue) equals conv + bias + act."""
+    column, activation in the f32 epilogue) equals conv + bias + act; the
+    128-wide case exercises the wide-dot path."""
     import jax
     import jax.lax as lax
 
     from synthsr_tpu.ops.conv_pallas import conv3d_cf
 
-    x = rng.normal(size=(8, 8, 16, 24)).astype(np.float32)
+    x = rng.normal(size=(8, 8, 16, width)).astype(np.float32)
     w = rng.normal(size=(3, 3, 3, 8, 16)).astype(np.float32) * 0.1
     b = rng.normal(size=(16,)).astype(np.float32)
     ours = np.asarray(conv3d_cf(jnp.asarray(x), jnp.asarray(w),
@@ -209,6 +211,59 @@ def test_pallas_conv3d_fused_bias_activation(rng, activation):
         oracle = jax.nn.elu(oracle)
     elif activation == "relu":
         oracle = jax.nn.relu(oracle)
+    oracle = np.transpose(np.asarray(oracle), (3, 0, 1, 2))
+    np.testing.assert_allclose(ours, oracle, atol=1e-5)
+
+
+@pytest.mark.parametrize("cin,cout,d,activation",
+                         [(8, 16, 8, "elu"), (3, 8, 4, None),
+                          (1, 8, 8, "relu")])
+def test_pallas_conv3d_planes_matches_xla(rng, cin, cout, d, activation):
+    """Interpret-mode oracle for the plane-streaming kernel (v6): unpadded
+    input, zero-bordered slots, 4-plane grid unroll, rolling 4-slot f32
+    accumulators, incl. the d=4 single-grid-step edge case and cin=1 (the
+    network's first conv)."""
+    import jax
+    import jax.lax as lax
+
+    from synthsr_tpu.ops.conv_pallas import conv3d_cf_planes
+
+    x = rng.normal(size=(cin, d, 16, 128)).astype(np.float32)
+    w = rng.normal(size=(3, 3, 3, cin, cout)).astype(np.float32) * 0.1
+    b = rng.normal(size=(cout,)).astype(np.float32)
+    ours = np.asarray(conv3d_cf_planes(
+        jnp.asarray(x), jnp.asarray(w), bias=jnp.asarray(b),
+        activation=activation, interpret=True))
+    xl = jnp.transpose(jnp.asarray(x), (1, 2, 3, 0))[None]
+    oracle = lax.conv_general_dilated(
+        xl, jnp.asarray(w), (1, 1, 1), "SAME",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))[0] + b
+    if activation == "elu":
+        oracle = jax.nn.elu(oracle)
+    elif activation == "relu":
+        oracle = jax.nn.relu(oracle)
+    oracle = np.transpose(np.asarray(oracle), (3, 0, 1, 2))
+    np.testing.assert_allclose(ours, oracle, atol=1e-5)
+
+
+def test_pallas_conv3d_grouped_matches_xla(rng):
+    """Channel-grouped partial-conv sum (conv linearity; the 72ch decoder
+    concat conv past the plane kernel's compile cap) equals the full conv."""
+    import jax
+    import jax.lax as lax
+
+    from synthsr_tpu.ops.conv_pallas import conv3d_cf_grouped
+
+    x = rng.normal(size=(24, 8, 16, 128)).astype(np.float32)
+    w = rng.normal(size=(3, 3, 3, 24, 8)).astype(np.float32) * 0.1
+    b = rng.normal(size=(8,)).astype(np.float32)
+    ours = np.asarray(conv3d_cf_grouped(
+        jnp.asarray(x), jnp.asarray(w), bias=jnp.asarray(b),
+        activation="elu", group=8, interpret=True))
+    xl = jnp.transpose(jnp.asarray(x), (1, 2, 3, 0))[None]
+    oracle = jax.nn.elu(lax.conv_general_dilated(
+        xl, jnp.asarray(w), (1, 1, 1), "SAME",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))[0] + b)
     oracle = np.transpose(np.asarray(oracle), (3, 0, 1, 2))
     np.testing.assert_allclose(ours, oracle, atol=1e-5)
 
