@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.conv_pallas import (_plane_layout, conv3d_cf, conv3d_cf_grouped,
-                               conv3d_cf_planes)
+                               conv3d_cf_planes, split_group_for)
 from .unet import UNet3D, _activation, upsample_nearest
 
 
@@ -40,14 +40,6 @@ def _maxpool_cf(x):
                                  (1, 2, 2, 2), "SAME")
 
 
-def _split_group(cin, cout, d, h, wdim):
-    """Largest even channel-group size whose plane-kernel layout compiles."""
-    for g in (48, 40, 32, 24, 16, 8):
-        if cin % g == 0 and _plane_layout(g, cout, d, h, wdim) is not None:
-            return g
-    return None
-
-
 def _conv_cf(p, x, interpret=False, activation=None):
     # optimization barriers keep XLA from folding the pallas output into
     # VMEM-resident fusions (full-graph scheduling OOMs otherwise); bias and
@@ -68,9 +60,9 @@ def _conv_cf(p, x, interpret=False, activation=None):
         y = conv3d_cf_planes(x, kern.astype(x.dtype), bias=p["bias"],
                              activation=activation, interpret=interpret)
     elif wdim % 128 == 0 and d % 4 == 0 and \
-            _split_group(cin, cout, d, h, wdim) is not None:
+            split_group_for(cin, cout, d, h, wdim) is not None:
         y = conv3d_cf_grouped(x, kern, bias=p["bias"], activation=activation,
-                              group=_split_group(cin, cout, d, h, wdim),
+                              group=split_group_for(cin, cout, d, h, wdim),
                               interpret=interpret)
     elif cin <= 48:
         y = conv3d_cf(x, kern.astype(x.dtype), bias=p["bias"],
@@ -107,7 +99,7 @@ def _pallas_ok(cin, cout, spatial):
     if _plane_layout(cin, cout, d, h, w) is not None:
         return True
     if w % 128 == 0 and d % 4 == 0 and \
-            _split_group(cin, cout, d, h, w) is not None:
+            split_group_for(cin, cout, d, h, w) is not None:
         return True
     return (cin <= 96 and w >= 128 and h % 16 == 0
             and cin * w <= 96 * 256)
@@ -172,8 +164,13 @@ def fast_unet_forward(model: UNet3D, variables, x, interpret=False,
             return xx, cf, needed, level
         src = nl - 2 - level
         if cf:
-            for ax in (1, 2, 3):
-                xx = jnp.repeat(xx, 2, axis=ax)
+            # single-pass nearest upsample (broadcast + reshape fuse into ONE
+            # XLA kernel; three jnp.repeat passes materialized 2.8 GB of
+            # intermediates at 256^3)
+            c0, dd, hh, ww = xx.shape
+            xx = jnp.broadcast_to(
+                xx[:, :, None, :, None, :, None],
+                (c0, dd, 2, hh, 2, ww, 2)).reshape(c0, 2 * dd, 2 * hh, 2 * ww)
         else:
             xx = upsample_nearest(xx, 2)
         skip, skip_cf = skips[src]
@@ -184,8 +181,36 @@ def fast_unet_forward(model: UNet3D, variables, x, interpret=False,
         elif not skip_cf and cf:
             xx = jnp.transpose(xx, (1, 2, 3, 0))[None]
             cf = False
-        xx = jnp.concatenate([skip.astype(xx.dtype), xx], axis=0 if cf else -1)
-        for conv in range(model.nb_conv_per_level):
+        conv_start = 0
+        if cf:
+            # concat-FREE path for big decoder concats: when the combined
+            # conv must be channel-grouped anyway, feed the grouped conv its
+            # sources directly and never materialize the (C_skip+C_up)
+            # concatenated tensor in HBM (saves ~2.4 GB w + r at 256^3)
+            p0 = params[f"conv_uparm_{nl + level}_0"]
+            d0, h0_, w0 = xx.shape[1:]
+            cin_tot = p0["kernel"].shape[3]
+            srcs = [skip.astype(xx.dtype), xx]
+            if (w0 % 128 == 0 and d0 % 4 == 0
+                    and _plane_layout(cin_tot, p0["kernel"].shape[-1],
+                                      d0, h0_, w0) is None
+                    and all(_plane_layout(s.shape[0], p0["kernel"].shape[-1],
+                                          d0, h0_, w0) is not None
+                            or split_group_for(s.shape[0],
+                                               p0["kernel"].shape[-1],
+                                               d0, h0_, w0) is not None
+                            for s in srcs)):
+                srcs = [jax.lax.optimization_barrier(s) for s in srcs]
+                y = conv3d_cf_grouped(srcs, p0["kernel"], bias=p0["bias"],
+                                      activation=fused_act,
+                                      interpret=interpret)
+                y = jax.lax.optimization_barrier(y)
+                xx = y if fused_act else act(y)
+                conv_start = 1
+        if conv_start == 0:
+            xx = jnp.concatenate([skip.astype(xx.dtype), xx],
+                                 axis=0 if cf else -1)
+        for conv in range(conv_start, model.nb_conv_per_level):
             p = params[f"conv_uparm_{nl + level}_{conv}"]
             cin = p["kernel"].shape[3]
             if cf and not _pallas_ok(cin, p["kernel"].shape[-1], xx.shape[1:]):
@@ -201,10 +226,16 @@ def fast_unet_forward(model: UNet3D, variables, x, interpret=False,
 
     p = params["likelihood"]
     if cf:
+        # 1x1x1 conv as a dot in the network compute dtype with f32
+        # accumulation — casting the whole volume to f32 first cost an extra
+        # 2.4 GB HBM pass at 256^3 for sub-bf16-noise precision
         c = xx.shape[0]
-        k = p["kernel"].reshape(c, -1).astype(jnp.float32)  # (cin, cout)
-        flat = xx.reshape(c, -1).astype(jnp.float32)
-        out = (k.T @ flat).reshape(-1, *xx.shape[1:]) \
+        k = p["kernel"].reshape(c, -1).astype(xx.dtype)  # (cin, cout)
+        flat = xx.reshape(c, -1)
+        out = jax.lax.dot_general(
+            k, flat, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        out = out.reshape(-1, *xx.shape[1:]) \
             + p["bias"].astype(jnp.float32).reshape(-1, 1, 1, 1)
         out = jnp.transpose(out, (1, 2, 3, 0))[None]
     else:

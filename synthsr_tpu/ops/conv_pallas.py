@@ -515,6 +515,16 @@ def conv3d_cf_planes(x, w, bias=None, activation: str | None = None,
     return out
 
 
+def split_group_for(cin, cout, d, h, w):
+    """Largest even channel-group size whose plane-kernel layout qualifies
+    (None if none does).  Preference order favours sizes likely shared with
+    other convs in the network so executables are reused."""
+    for g in (48, 40, 32, 24, 16, 8):
+        if cin % g == 0 and _plane_layout(g, cout, d, h, w) is not None:
+            return g
+    return None
+
+
 def conv3d_cf_grouped(x, w, bias=None, activation: str | None = None,
                       group: int | None = None, interpret: bool = False):
     """Big-cin SAME 3-cubed conv as a sum of channel-group partial convs.
@@ -522,23 +532,33 @@ def conv3d_cf_grouped(x, w, bias=None, activation: str | None = None,
     Convolution is linear in the input channels, so a conv whose cin is past
     the plane kernel's compile-cost cap splits into equal groups that all
     share ONE compiled executable; the partial sums plus bias + activation
-    fuse into a single XLA elementwise pass.  ``group`` must divide cin and
-    each group's plane layout must qualify (auto-picked when None).
+    fuse into a single XLA elementwise pass.
+
+    ``x``: one (C, D, H, W) tensor, or a LIST of them stacked conceptually
+    along C — the decoder concat convs pass [skip, upsampled] directly so the
+    concatenated tensor is never materialized in HBM.  ``group`` (single-x
+    only) must divide cin; auto-picked per source when None.
     """
-    cin, d, h, wdim = x.shape
+    sources = x if isinstance(x, (list, tuple)) else [x]
+    d, h, wdim = sources[0].shape[1:]
     cout = w.shape[-1]
-    if group is None:
-        for g in (48, 40, 32, 24, 16, 8):
-            if cin % g == 0 and _plane_layout(g, cout, d, h, wdim) is not None:
-                group = g
-                break
-    assert group is not None and cin % group == 0
     y = None
-    for st in range(0, cin, group):
-        t = conv3d_cf_planes(x[st:st + group],
-                             w[:, :, :, st:st + group, :].astype(x.dtype),
-                             interpret=interpret)
-        y = t if y is None else y + t
+    off = 0
+    for src in sources:
+        cin = src.shape[0]
+        g = group if (group is not None and len(sources) == 1) else \
+            (cin if _plane_layout(cin, cout, d, h, wdim) is not None
+             else split_group_for(cin, cout, d, h, wdim))
+        assert g is not None and cin % g == 0, \
+            f"no qualifying group size for cin={cin} at {src.shape}"
+        for st in range(0, cin, g):
+            t = conv3d_cf_planes(
+                src[st:st + g] if (st, g) != (0, cin) else src,
+                w[:, :, :, off + st:off + st + g, :].astype(src.dtype),
+                interpret=interpret)
+            y = t if y is None else y + t
+        off += cin
+    assert off == w.shape[3]
     if bias is not None:
         y = y + jnp.asarray(bias).astype(y.dtype).reshape(-1, 1, 1, 1)
     if activation == "elu":

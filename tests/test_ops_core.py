@@ -267,6 +267,13 @@ def test_pallas_conv3d_grouped_matches_xla(rng):
     oracle = np.transpose(np.asarray(oracle), (3, 0, 1, 2))
     np.testing.assert_allclose(ours, oracle, atol=1e-5)
 
+    # multi-source form (decoder concat-free path): [skip, up] fed directly
+    # must equal the conv of their concatenation
+    ours2 = np.asarray(conv3d_cf_grouped(
+        [jnp.asarray(x[:8]), jnp.asarray(x[8:])], jnp.asarray(w),
+        bias=jnp.asarray(b), activation="elu", interpret=True))
+    np.testing.assert_allclose(ours2, oracle, atol=1e-5)
+
 
 def test_stencil_warp_equals_gather_warp(rng):
     """For |shift| <= radius the stencil warp must equal transform() exactly,
