@@ -40,7 +40,16 @@ def _maxpool_cf(x):
                                  (1, 2, 2, 2), "SAME")
 
 
-def _conv_cf(p, x, interpret=False, activation=None):
+def _bn_affine(p, s, eps=1e-3):
+    """Inference BatchNorm as a per-channel (scale, bias) affine, (2, C) f32."""
+    import numpy as np  # noqa: F401  (shapes only)
+    inv = jax.lax.rsqrt(s["var"].astype(jnp.float32) + eps)
+    a = p["scale"].astype(jnp.float32) * inv
+    b = p["bias"].astype(jnp.float32) - s["mean"].astype(jnp.float32) * a
+    return jnp.stack([a, b])
+
+
+def _conv_cf(p, x, interpret=False, activation=None, post=None):
     # optimization barriers keep XLA from folding the pallas output into
     # VMEM-resident fusions (full-graph scheduling OOMs otherwise); bias and
     # activation run fused inside the kernel epilogue (saves one full HBM
@@ -58,20 +67,26 @@ def _conv_cf(p, x, interpret=False, activation=None):
     act = _activation_fn(activation)
     if _plane_layout(cin, cout, d, h, wdim) is not None:
         y = conv3d_cf_planes(x, kern.astype(x.dtype), bias=p["bias"],
-                             activation=activation, interpret=interpret)
+                             activation=activation, post=post,
+                             interpret=interpret)
     elif wdim % 128 == 0 and d % 4 == 0 and \
             split_group_for(cin, cout, d, h, wdim) is not None:
         y = conv3d_cf_grouped(x, kern, bias=p["bias"], activation=activation,
-                              group=split_group_for(cin, cout, d, h, wdim),
-                              interpret=interpret)
+                              post=post, interpret=interpret)
     elif cin <= 48:
         y = conv3d_cf(x, kern.astype(x.dtype), bias=p["bias"],
                       activation=activation, interpret=interpret)
+        if post is not None:
+            y = y * post[0].astype(y.dtype).reshape(-1, 1, 1, 1) \
+                + post[1].astype(y.dtype).reshape(-1, 1, 1, 1)
     else:
         # big-cin blocked kernel: run UNFUSED (the fused 72ch variant never
         # finished Mosaic compile); bias + activation as one XLA pass
         y = conv3d_cf(x, kern.astype(x.dtype), interpret=interpret)
         y = act(y + p["bias"].astype(y.dtype).reshape(-1, 1, 1, 1))
+        if post is not None:
+            y = y * post[0].astype(y.dtype).reshape(-1, 1, 1, 1) \
+                + post[1].astype(y.dtype).reshape(-1, 1, 1, 1)
     return jax.lax.optimization_barrier(y)
 
 
@@ -210,6 +225,8 @@ def fast_unet_forward(model: UNet3D, variables, x, interpret=False,
         if conv_start == 0:
             xx = jnp.concatenate([skip.astype(xx.dtype), xx],
                                  axis=0 if cf else -1)
+        bnp, bns = params[f"bn_up_{level}"], stats[f"bn_up_{level}"]
+        bn_folded = False
         for conv in range(conv_start, model.nb_conv_per_level):
             p = params[f"conv_uparm_{nl + level}_{conv}"]
             cin = p["kernel"].shape[3]
@@ -217,12 +234,21 @@ def fast_unet_forward(model: UNet3D, variables, x, interpret=False,
                 xx = jnp.transpose(xx, (1, 2, 3, 0))[None]
                 cf = False
             if cf:
-                y = _conv_cf(p, xx, interpret=interpret, activation=fused_act)
+                # fold this level's BatchNorm into the LAST conv's epilogue:
+                # decoder BNs have no skip consumers (the encoder's do), so
+                # the post-activation affine replaces a whole-volume XLA
+                # pass.  Only valid when the activation is fused in-kernel
+                # (the affine must come after it).
+                last = conv == model.nb_conv_per_level - 1
+                post = _bn_affine(bnp, bns) if (last and fused_act) else None
+                y = _conv_cf(p, xx, interpret=interpret, activation=fused_act,
+                             post=post)
                 xx = y if fused_act else act(y)
+                bn_folded = post is not None
             else:
                 xx = act(_conv_cl(p, xx))
-        bnp, bns = params[f"bn_up_{level}"], stats[f"bn_up_{level}"]
-        xx = _bn_cf(bnp, bns, xx) if cf else _bn_cl(bnp, bns, xx)
+        if not bn_folded:
+            xx = _bn_cf(bnp, bns, xx) if cf else _bn_cl(bnp, bns, xx)
 
     p = params["likelihood"]
     if cf:

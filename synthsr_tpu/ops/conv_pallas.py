@@ -229,9 +229,9 @@ def _kernel(x_hbm, w_ref, out_hbm, slab, patches, acc, obuf, isem,
                 out_dma(1, flat0 + 1).wait()
 
 
-def _plane_kernel(x_hbm, w_ref, out_hbm, slab, patches, acc, obuf, isem,
-                  osem, *, cin, cout, d, hdim, w_out, hp, wp, th, ns,
-                  has_bias, activation, n_streams, n_steps):
+def _plane_kernel(*refs, cin, cout, d, hdim, w_out, hp, wp, th, ns,
+                  has_bias, activation, n_streams, n_steps, has_accum,
+                  has_post):
     """Plane-streaming variant (v6): grid over D in groups of 4 planes.
 
     Each INPUT plane is DMA'd from HBM exactly once as large contiguous
@@ -249,7 +249,26 @@ def _plane_kernel(x_hbm, w_ref, out_hbm, slab, patches, acc, obuf, isem,
     stay STATIC under the 4-plane grid unroll).  Output plane z = p-1
     completes with plane p's dz=2 contribution (z = D-1 with plane D-1's
     dz=1) and leaves through a double-buffered full-plane store.
+
+    Optional extensions (both save whole-volume XLA passes):
+    - ``has_accum``: a previous partial-conv output (channel-group chaining,
+      see conv3d_cf_grouped) streams in plane-by-plane through its own
+      4-slot ring and seeds the dz=0 accumulator write — the partial sums
+      never meet an XLA add.
+    - ``has_post``: a per-channel affine applied AFTER the activation
+      (inference BatchNorm folded into the conv epilogue).
     """
+    it = iter(refs)
+    x_hbm = next(it)
+    w_ref = next(it)
+    acc_hbm = next(it) if has_accum else None
+    post_s = next(it) if has_post else None
+    post_b = next(it) if has_post else None
+    out_hbm = next(it)
+    slab, patches, acc, obuf = next(it), next(it), next(it), next(it)
+    abuf = next(it) if has_accum else None
+    isem, osem = next(it), next(it)
+    asem = next(it) if has_accum else None
     i = pl.program_id(0)
 
     class _group:
@@ -282,13 +301,23 @@ def _plane_kernel(x_hbm, w_ref, out_hbm, slab, patches, acc, obuf, isem,
             out_hbm.at[pl.ds(st, sz), z],
             osem.at[oslot, j]) for j, (st, sz) in enumerate(_split(cout))])
 
+    def adma(slot, z):
+        return pltpu.make_async_copy(acc_hbm.at[:, z], abuf.at[slot],
+                                     asem.at[slot])
+
     def act(val):
         if activation == "elu":
             # Mosaic has no expm1 lowering; exp-1 in f32 differs only below
             # bf16 resolution for the x<0 branch
-            return jnp.where(val > 0, val, jnp.exp(val) - 1.0)
-        if activation == "relu":
-            return jnp.maximum(val, 0.0)
+            val = jnp.where(val > 0, val, jnp.exp(val) - 1.0)
+        elif activation == "relu":
+            val = jnp.maximum(val, 0.0)
+        if has_post:
+            # inference BatchNorm folded in: per-channel affine AFTER the
+            # activation.  scale/bias arrive pre-shaped (cout, 1, 1) so the
+            # read needs no layout cast (Mosaic cannot move a lane vector
+            # onto the outer axis).
+            val = val * post_s[:] + post_b[:]
         return val
 
     @pl.when(i == 0)
@@ -307,6 +336,11 @@ def _plane_kernel(x_hbm, w_ref, out_hbm, slab, patches, acc, obuf, isem,
             patches[9 * cin, :, :] = jnp.ones((th, w_out), patches.dtype)
         for s in range(min(ns, d)):
             in_dma(s, s).start()
+        if has_accum:
+            # accum plane z lives in ring slot z % 4; substep p consumes
+            # z = p+1 (dz=0 seed), plus z = 0 once at p = 0 (dz=1 seed)
+            for z in range(min(4, d)):
+                adma(z, z).start()
 
     n_chunks = hdim // th
     krows = patches.shape[0]
@@ -318,6 +352,20 @@ def _plane_kernel(x_hbm, w_ref, out_hbm, slab, patches, acc, obuf, isem,
 
         def substep(k=k, s=s, p=p, z_prev=z_prev):
             in_dma(s, p).wait()
+            if has_accum:
+                # accum plane z = p+1 (seeds dz=0); z = p+1 == d never had a
+                # DMA started, so skip that wait (the dz=0 write it would
+                # seed is the dead out[d] garbage write)
+                def wait_acc():
+                    adma((k + 1) % 4, 0).wait()
+                if k == 3:
+                    pl.when(i < n_steps - 1)(wait_acc)
+                else:
+                    wait_acc()
+                if k == 0:
+                    @pl.when(i == 0)
+                    def _():
+                        adma(0, 0).wait()  # z = 0, seeds out[0] at dz=1
             # obuf slot for z_prev: previous occupant (z_prev - 2) must have
             # drained before this substep overwrites it
             o_prev = (k - 1) % 2
@@ -358,18 +406,27 @@ def _plane_kernel(x_hbm, w_ref, out_hbm, slab, patches, acc, obuf, isem,
                         for r in range(th)]
                     c = jnp.stack(rows, axis=1)
 
-                # dz=0 -> out[p+1]: always an overwrite (first contribution);
-                # a p+1 == d garbage write is dead — every slot use begins
-                # with its own dz=0 overwrite
-                acc[(k + 1) % 4, :, h0:h0 + th, :] = c[0:cout]
+                # dz=0 -> out[p+1]: always an overwrite (first contribution),
+                # seeded by the chained partial when present; a p+1 == d
+                # garbage write is dead — every slot use begins with its own
+                # dz=0 overwrite
+                seed0 = c[0:cout]
+                if has_accum:
+                    seed0 = seed0 + abuf[(k + 1) % 4, :, h0:h0 + th, :] \
+                        .astype(jnp.float32)
+                acc[(k + 1) % 4, :, h0:h0 + th, :] = seed0
 
                 # dz=1 -> out[p]: add; out[0] has no dz=0 source, so its
-                # first contribution is an overwrite
+                # first contribution is an overwrite (+ its partial seed)
                 upd1 = c[cout:2 * cout]
                 if k == 0:
                     @pl.when(i == 0)
                     def _():
-                        acc[0, :, h0:h0 + th, :] = upd1
+                        seed1 = upd1
+                        if has_accum:
+                            seed1 = seed1 + abuf[0, :, h0:h0 + th, :] \
+                                .astype(jnp.float32)
+                        acc[0, :, h0:h0 + th, :] = seed1
 
                     @pl.when(i > 0)
                     def _():
@@ -412,6 +469,14 @@ def _plane_kernel(x_hbm, w_ref, out_hbm, slab, patches, acc, obuf, isem,
             @pl.when(p + ns < d)
             def _():
                 in_dma(s, p + ns).start()
+            if has_accum:
+                @pl.when(p + 5 <= d - 1)
+                def _():
+                    adma((k + 1) % 4, p + 5).start()
+                if k == 0 and d > 4:
+                    @pl.when(i == 0)
+                    def _():
+                        adma(0, 4).start()
 
         substep()
 
@@ -425,7 +490,7 @@ def _pad8(n):
     return ((n + 7) // 8) * 8
 
 
-def _plane_layout(cin, cout, d, h, w, dtype_bytes=2):
+def _plane_layout(cin, cout, d, h, w, dtype_bytes=2, with_accum=False):
     """(th, ns, hp, wp, vmem_bytes) for the plane-streaming kernel, or None
     if the shape does not qualify."""
     if w % 128 != 0 or d % 4 != 0:
@@ -450,6 +515,8 @@ def _plane_layout(cin, cout, d, h, w, dtype_bytes=2):
                     + krows * th * w * dtype_bytes            # patches
                     + 4 * cout * h * w * 4                    # f32 acc ring
                     + 2 * cout * h * w * dtype_bytes)         # out planes x2
+            if with_accum:
+                need += 4 * cout * h * w * dtype_bytes        # partial ring
             if need <= 90 * 2 ** 20:
                 return th, ns, hp, wp, need
     return None
@@ -458,16 +525,23 @@ def _plane_layout(cin, cout, d, h, w, dtype_bytes=2):
 @functools.partial(jax.jit,
                    static_argnames=("interpret", "activation", "n_streams"))
 def conv3d_cf_planes(x, w, bias=None, activation: str | None = None,
-                     interpret: bool = False, n_streams: int = 2):
+                     interpret: bool = False, n_streams: int = 2,
+                     accum=None, post=None):
     """SAME 3-cubed conv, channels-first, plane-streaming (see _plane_kernel).
 
     Same contract as conv3d_cf; requires W % 128 == 0 and D % 4 == 0 (use
     conv3d_cf otherwise).  The input is consumed UNPADDED — no host pad pass.
+
+    ``accum``: optional (C_out, D, H, W) partial-conv output added in-kernel
+    (channel-group chaining — no XLA sum pass).  ``post``: optional (2, C_out)
+    per-channel (scale, bias) affine applied AFTER the activation (folded
+    inference BatchNorm).
     """
     cin, d, h, wdim = x.shape
     cout = w.shape[-1]
     assert w.shape[:3] == (3, 3, 3)
-    layout = _plane_layout(cin, cout, d, h, wdim)
+    layout = _plane_layout(cin, cout, d, h, wdim,
+                           with_accum=accum is not None)
     assert layout is not None, \
         f"shape {x.shape}->{cout} does not fit the plane-streaming kernel"
     th, ns, hp, wp, _ = layout
@@ -487,52 +561,75 @@ def conv3d_cf_planes(x, w, bias=None, activation: str | None = None,
     krows = _pad8(9 * cin + 1)
     wt = jnp.pad(wt, ((0, 0), (0, krows - wt.shape[1])))
 
+    has_accum = accum is not None
+    has_post = post is not None
     n_steps = d // 4
+    in_specs = [pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+                pl.BlockSpec(memory_space=pltpu.VMEM)]
+    operands = [x, wt.astype(x.dtype)]
+    if has_accum:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM))
+        operands.append(accum)
+    if has_post:
+        post = jnp.asarray(post, jnp.float32)
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        operands.append(post[0].reshape(cout, 1, 1))
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        operands.append(post[1].reshape(cout, 1, 1))
+    scratch = [
+        pltpu.VMEM((ns, cin, hp, wp), x.dtype),
+        pltpu.VMEM((krows, th, wdim), x.dtype),
+        pltpu.VMEM((4, cout, h, wdim), jnp.float32),
+        pltpu.VMEM((2, cout, h, wdim), x.dtype),
+    ]
+    if has_accum:
+        scratch.append(pltpu.VMEM((4, cout, h, wdim), x.dtype))
+    scratch.append(pltpu.SemaphoreType.DMA((ns, nst)))
+    scratch.append(pltpu.SemaphoreType.DMA((2, nst)))
+    if has_accum:
+        scratch.append(pltpu.SemaphoreType.DMA((4,)))
     out = pl.pallas_call(
         functools.partial(_plane_kernel, cin=cin, cout=cout, d=d, hdim=h,
                           w_out=wdim, hp=hp, wp=wp, th=th, ns=ns,
                           has_bias=has_bias, activation=activation,
-                          n_streams=nst, n_steps=n_steps),
+                          n_streams=nst, n_steps=n_steps,
+                          has_accum=has_accum, has_post=has_post),
         grid=(n_steps,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         out_shape=jax.ShapeDtypeStruct((cout, d, h, wdim), x.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((ns, cin, hp, wp), x.dtype),
-            pltpu.VMEM((krows, th, wdim), x.dtype),
-            pltpu.VMEM((4, cout, h, wdim), jnp.float32),
-            pltpu.VMEM((2, cout, h, wdim), x.dtype),
-            pltpu.SemaphoreType.DMA((ns, nst)),
-            pltpu.SemaphoreType.DMA((2, nst)),
-        ],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024),
         interpret=interpret,
-    )(x, wt.astype(x.dtype))
+    )(*operands)
     return out
 
 
 def split_group_for(cin, cout, d, h, w):
     """Largest even channel-group size whose plane-kernel layout qualifies
     (None if none does).  Preference order favours sizes likely shared with
-    other convs in the network so executables are reused."""
+    other convs in the network so executables are reused.  Sized with the
+    accum ring included, since grouped chaining uses it from group 2 on."""
     for g in (48, 40, 32, 24, 16, 8):
-        if cin % g == 0 and _plane_layout(g, cout, d, h, w) is not None:
+        if cin % g == 0 and _plane_layout(g, cout, d, h, w,
+                                          with_accum=True) is not None:
             return g
     return None
 
 
 def conv3d_cf_grouped(x, w, bias=None, activation: str | None = None,
-                      group: int | None = None, interpret: bool = False):
+                      group: int | None = None, interpret: bool = False,
+                      post=None):
     """Big-cin SAME 3-cubed conv as a sum of channel-group partial convs.
 
     Convolution is linear in the input channels, so a conv whose cin is past
     the plane kernel's compile-cost cap splits into equal groups that all
-    share ONE compiled executable; the partial sums plus bias + activation
-    fuse into a single XLA elementwise pass.
+    share compiled-once executables; the running partial sum CHAINS through
+    each kernel's ``accum`` input (its planes stream through a dedicated
+    ring and seed the dz=0 accumulator), so the partials never meet an XLA
+    add, and bias + activation (+ optional post affine) run fused in the
+    LAST group's epilogue.
 
     ``x``: one (C, D, H, W) tensor, or a LIST of them stacked conceptually
     along C — the decoder concat convs pass [skip, upsampled] directly so the
@@ -542,29 +639,29 @@ def conv3d_cf_grouped(x, w, bias=None, activation: str | None = None,
     sources = x if isinstance(x, (list, tuple)) else [x]
     d, h, wdim = sources[0].shape[1:]
     cout = w.shape[-1]
-    y = None
+    pieces = []  # (src_slice, w_slice)
     off = 0
     for src in sources:
         cin = src.shape[0]
         g = group if (group is not None and len(sources) == 1) else \
-            (cin if _plane_layout(cin, cout, d, h, wdim) is not None
+            (cin if _plane_layout(cin, cout, d, h, wdim,
+                                  with_accum=True) is not None
              else split_group_for(cin, cout, d, h, wdim))
         assert g is not None and cin % g == 0, \
             f"no qualifying group size for cin={cin} at {src.shape}"
         for st in range(0, cin, g):
-            t = conv3d_cf_planes(
-                src[st:st + g] if (st, g) != (0, cin) else src,
-                w[:, :, :, off + st:off + st + g, :].astype(src.dtype),
-                interpret=interpret)
-            y = t if y is None else y + t
+            pieces.append((src[st:st + g] if (st, g) != (0, cin) else src,
+                           w[:, :, :, off + st:off + st + g, :]))
         off += cin
     assert off == w.shape[3]
-    if bias is not None:
-        y = y + jnp.asarray(bias).astype(y.dtype).reshape(-1, 1, 1, 1)
-    if activation == "elu":
-        y = jax.nn.elu(y)
-    elif activation == "relu":
-        y = jax.nn.relu(y)
+    y = None
+    for idx, (xs, ws) in enumerate(pieces):
+        last = idx == len(pieces) - 1
+        y = conv3d_cf_planes(xs, ws.astype(xs.dtype),
+                             bias=bias if last else None,
+                             activation=activation if last else None,
+                             post=post if last else None,
+                             accum=y, interpret=interpret)
     return y
 
 

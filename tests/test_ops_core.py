@@ -231,9 +231,10 @@ def test_pallas_conv3d_planes_matches_xla(rng, cin, cout, d, activation):
     x = rng.normal(size=(cin, d, 16, 128)).astype(np.float32)
     w = rng.normal(size=(3, 3, 3, cin, cout)).astype(np.float32) * 0.1
     b = rng.normal(size=(cout,)).astype(np.float32)
+    post = rng.normal(size=(2, cout)).astype(np.float32)
     ours = np.asarray(conv3d_cf_planes(
         jnp.asarray(x), jnp.asarray(w), bias=jnp.asarray(b),
-        activation=activation, interpret=True))
+        activation=activation, post=jnp.asarray(post), interpret=True))
     xl = jnp.transpose(jnp.asarray(x), (1, 2, 3, 0))[None]
     oracle = lax.conv_general_dilated(
         xl, jnp.asarray(w), (1, 1, 1), "SAME",
@@ -242,6 +243,7 @@ def test_pallas_conv3d_planes_matches_xla(rng, cin, cout, d, activation):
         oracle = jax.nn.elu(oracle)
     elif activation == "relu":
         oracle = jax.nn.relu(oracle)
+    oracle = oracle * post[0] + post[1]  # post-activation affine (folded BN)
     oracle = np.transpose(np.asarray(oracle), (3, 0, 1, 2))
     np.testing.assert_allclose(ours, oracle, atol=1e-5)
 
