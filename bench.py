@@ -32,7 +32,7 @@ def main():
     import jax.numpy as jnp
 
     from synthsr_tpu.models.unet import synthsr_unet
-    from synthsr_tpu.models.unet_cf import make_fast_predictor
+    from synthsr_tpu.models.unet_cf import flip_d_variables, make_fast_predictor
 
     model = synthsr_unet(compute_dtype=jnp.bfloat16)
     variables = dict(jax.jit(model.init)(jax.random.PRNGKey(0),
@@ -41,14 +41,18 @@ def main():
     # Channels-first forward through the Pallas channels-on-sublanes conv
     # kernel (ops/conv_pallas.py); TTA passes as SEPARATE executables: a
     # single 256³ forward peaks at ~13.6G temp HBM; two passes in one XLA
-    # program OOM a 16G chip.
+    # program OOM a 16G chip.  The flip pass runs the SAME executables with
+    # D-flipped conv kernels (exact flip equivariance) so only the output is
+    # flipped back — no input-flip volume pass.
     run = make_fast_predictor(model, variables, (1, 256, 256, 256, 1))
+    v_flip = flip_d_variables(variables)
     combine = jax.jit(
-        lambda y0, y1: jnp.clip(255.0 * (0.5 * y0 + 0.5 * y1), 0.0, 128.0))
+        lambda y0, y1: jnp.clip(255.0 * (0.5 * y0 + 0.5 * jnp.flip(y1, 1)),
+                                0.0, 128.0))
 
     def predict(variables, x):
         y0 = run(x)
-        y1 = jnp.flip(run(jnp.flip(x, axis=1)), axis=1)
+        y1 = run(x, v_flip)
         return combine(y0, y1)
 
     x = jnp.asarray(np.random.default_rng(0)

@@ -141,16 +141,20 @@ class Predictor:
             post = jax.jit(lambda y: jnp.clip(255.0 * y, 0.0, 128.0))
 
             if self.use_fast:
-                from ..models.unet_cf import make_fast_predictor
+                from ..models.unet_cf import (flip_d_variables,
+                                              make_fast_predictor)
 
                 variables = self.variables
                 fast = make_fast_predictor(model, variables,
                                            (1, *shape, 1))
+                # flip-TTA pass: same executables, D-flipped conv kernels
+                # (exact flip equivariance) — no input-flip volume pass
+                v_flip = flip_d_variables(variables) if flip else None
 
                 def run(_, s):
                     y0 = fast(s)
                     if flip:
-                        y1 = jnp.flip(fast(jnp.flip(s, axis=1)), axis=1)
+                        y1 = jnp.flip(fast(s, v_flip), axis=1)
                         return combine(y0, y1)
                     return post(y0)
             else:

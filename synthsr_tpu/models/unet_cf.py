@@ -273,6 +273,22 @@ def fast_unet_forward(model: UNet3D, variables, x, interpret=False,
     return out.astype(jnp.float32)
 
 
+def flip_d_variables(variables):
+    """Weights for the flip-TTA pass: net(flip_D(x)) == flip_D(net_fd(x))
+    where net_fd uses every conv kernel flipped along its D axis (axis 0 of
+    DHWIO; 1x1x1 kernels are unchanged).  The U-Net is exactly equivariant
+    to the flip (SAME convs, 2x pools/upsamples on even dims, per-channel
+    BN/activations), so the TTA forward reuses the SAME compiled executables
+    with these variables and only the OUTPUT needs flipping back — the
+    input-flip volume pass disappears."""
+    def f(p):
+        if hasattr(p, "ndim") and p.ndim == 5 and p.shape[0] > 1:
+            return jnp.flip(p, axis=0)
+        return p
+
+    return jax.tree.map(f, variables)
+
+
 def make_fast_predictor(model: UNet3D, variables, example_shape,
                         split_level: int = 3, interpret: bool = False):
     """Two-executable fast inference pipeline: run(x) -> (1, X, Y, Z, labels).
@@ -307,8 +323,9 @@ def make_fast_predictor(model: UNet3D, variables, example_shape,
 
     s2_jit = jax.jit(s2)
 
-    def run(x):
-        out = s1_jit(variables, x)
-        return s2_jit(variables, out[0], *out[1:])
+    def run(x, v=None):
+        v = variables if v is None else v
+        out = s1_jit(v, x)
+        return s2_jit(v, out[0], *out[1:])
 
     return run

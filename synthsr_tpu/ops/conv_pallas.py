@@ -486,6 +486,146 @@ def _plane_kernel(*refs, cin, cout, d, hdim, w_out, hp, wp, th, ns,
         out_dma(1, d - 1).wait()
 
 
+def _first_kernel(*refs, cin, cout, d, hdim, w_out, hp, wp, th, has_bias,
+                  activation, n_streams, n_steps, has_post):
+    """OUTPUT-stationary variant for tiny cin (the network's 1-channel first
+    conv): each substep emits one output plane from a 27-tap patch matrix
+    built over THREE resident input planes — no rolling f32 accumulator ring
+    at all, whose traffic (independent of cin) dominated the input-stationary
+    kernel at cin=1 (11.9 ms of which ~2 were real work).
+
+    Input planes live in a 4-slot ring (slot p%4); slot (z-1)%4 at z=0 holds
+    its initial zeros (plane 3's DMA is deferred to substep 0's epilogue),
+    and the missing-plane taps at z=0 / z=d-1 are zeroed in the patch matrix
+    under a predicate.  Bias is one ones-row with the FULL bias column —
+    every output plane gets exactly one dot.
+    """
+    it = iter(refs)
+    x_hbm = next(it)
+    w_ref = next(it)
+    post_s = next(it) if has_post else None
+    post_b = next(it) if has_post else None
+    out_hbm = next(it)
+    slab, patches, obuf = next(it), next(it), next(it)
+    isem, osem = next(it), next(it)
+    i = pl.program_id(0)
+
+    class _group:
+        def __init__(self, copies):
+            self.copies = copies
+
+        def start(self):
+            for c in self.copies:
+                c.start()
+
+        def wait(self):
+            for c in self.copies:
+                c.wait()
+
+    def _split(n):
+        q, r = divmod(n, n_streams)
+        sizes = [q + (1 if j < r else 0) for j in range(n_streams)]
+        starts = [sum(sizes[:j]) for j in range(n_streams)]
+        return [(st, sz) for st, sz in zip(starts, sizes) if sz]
+
+    def in_dma(slot, p):
+        return _group([pltpu.make_async_copy(
+            x_hbm.at[pl.ds(st, sz), p],
+            slab.at[slot, pl.ds(st, sz), pl.ds(8, hdim), pl.ds(128, w_out)],
+            isem.at[slot, j]) for j, (st, sz) in enumerate(_split(cin))])
+
+    def out_dma(oslot, z):
+        return _group([pltpu.make_async_copy(
+            obuf.at[oslot, pl.ds(st, sz)],
+            out_hbm.at[pl.ds(st, sz), z],
+            osem.at[oslot, j]) for j, (st, sz) in enumerate(_split(cout))])
+
+    def act(val):
+        if activation == "elu":
+            val = jnp.where(val > 0, val, jnp.exp(val) - 1.0)
+        elif activation == "relu":
+            val = jnp.maximum(val, 0.0)
+        if has_post:
+            val = val * post_s[:] + post_b[:]
+        return val
+
+    @pl.when(i == 0)
+    def _():
+        for s in range(4):
+            slab[s] = jnp.zeros((cin, hp, wp), slab.dtype)
+        patches[27 * cin:, :, :] = jnp.zeros(
+            (patches.shape[0] - 27 * cin, th, w_out), patches.dtype)
+        if has_bias:
+            patches[27 * cin, :, :] = jnp.ones((th, w_out), patches.dtype)
+        for p in range(min(3, d)):
+            in_dma(p, p).start()
+
+    n_chunks = hdim // th
+    krows = patches.shape[0]
+
+    for k in range(4):
+        z = 4 * i + k
+        oslot = k % 2
+
+        def substep(k=k, z=z, oslot=oslot):
+            # plane z+1 arrives; z-1, z already resident (or zeros / edge)
+            if k == 3:
+                @pl.when(i < n_steps - 1)
+                def _():
+                    in_dma(0, 0).wait()  # reconstructed: slot (z+1)%4 == 0
+            else:
+                in_dma((k + 1) % 4, 0).wait()
+            if k == 0:
+                @pl.when(i == 0)
+                def _():
+                    in_dma(0, 0).wait()  # plane 0 itself
+
+            def wait_out():
+                out_dma(oslot, z - 2).wait()
+            if k >= 2:
+                wait_out()
+            else:
+                pl.when(z >= 2)(wait_out)
+
+            for c_idx in range(n_chunks):
+                h0 = c_idx * th
+                for dz in range(3):
+                    s_dz = (k + dz - 1) % 4
+                    for dy in range(3):
+                        for dx in range(3):
+                            u = slab[s_dz, :,
+                                     7 + h0 + dy:7 + h0 + dy + th,
+                                     127 + dx:127 + dx + w_out]
+                            r0 = ((dz * 3 + dy) * 3 + dx) * cin
+                            patches[r0:r0 + cin, :, :] = u
+                # zero the taps of missing edge planes (slot holds zeros at
+                # z=0 only by construction; at z=d-1 it holds stale data)
+                if k == 3:
+                    @pl.when(z == d - 1)
+                    def _():
+                        patches[18 * cin:27 * cin, :, :] = jnp.zeros(
+                            (9 * cin, th, w_out), patches.dtype)
+                p2 = patches[:].reshape(krows, th * w_out)
+                c = jax.lax.dot_general(
+                    w_ref[:], p2,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ).reshape(cout, th, w_out)
+                obuf[oslot, :, h0:h0 + th, :] = act(c).astype(obuf.dtype)
+
+            out_dma(oslot, z).start()
+            @pl.when(z + 3 <= d - 1)
+            def _():
+                in_dma((k + 3) % 4, z + 3).start()
+
+        substep()
+
+    @pl.when(i == n_steps - 1)
+    def _():
+        out_dma(0, d - 2).wait()
+        out_dma(1, d - 1).wait()
+
+
 def _pad8(n):
     return ((n + 7) // 8) * 8
 
@@ -564,6 +704,49 @@ def conv3d_cf_planes(x, w, bias=None, activation: str | None = None,
     has_accum = accum is not None
     has_post = post is not None
     n_steps = d // 4
+
+    if cin <= 2 and not has_accum:
+        # output-stationary small-cin variant: 27-tap dot per output plane,
+        # no f32 accumulator ring (whose cin-independent traffic dominated
+        # here: measured 11.9 -> ~4 ms for the 1-channel first conv)
+        wt27 = jnp.transpose(w.reshape(27 * cin, cout), (1, 0))
+        if has_bias:
+            wt27 = jnp.concatenate(
+                [wt27, jnp.asarray(bias).reshape(-1, 1).astype(wt27.dtype)],
+                axis=1)
+        krows27 = _pad8(27 * cin + 1)
+        wt27 = jnp.pad(wt27, ((0, 0), (0, krows27 - wt27.shape[1])))
+        in_specs = [pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+                    pl.BlockSpec(memory_space=pltpu.VMEM)]
+        operands = [x, wt27.astype(x.dtype)]
+        if has_post:
+            postf = jnp.asarray(post, jnp.float32)
+            in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
+            operands += [postf[0].reshape(cout, 1, 1),
+                         postf[1].reshape(cout, 1, 1)]
+        return pl.pallas_call(
+            functools.partial(_first_kernel, cin=cin, cout=cout, d=d,
+                              hdim=h, w_out=wdim, hp=hp, wp=wp, th=th,
+                              has_bias=has_bias, activation=activation,
+                              n_streams=max(1, min(n_streams, cout)),
+                              n_steps=n_steps, has_post=has_post),
+            grid=(n_steps,),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            out_shape=jax.ShapeDtypeStruct((cout, d, h, wdim), x.dtype),
+            scratch_shapes=[
+                pltpu.VMEM((4, cin, hp, wp), x.dtype),
+                pltpu.VMEM((krows27, th, wdim), x.dtype),
+                pltpu.VMEM((2, cout, h, wdim), x.dtype),
+                pltpu.SemaphoreType.DMA((4, max(1, min(n_streams, cin)))),
+                pltpu.SemaphoreType.DMA(
+                    (2, max(1, min(n_streams, cout)))),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=110 * 1024 * 1024),
+            interpret=interpret,
+        )(*operands)
+
     in_specs = [pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
                 pl.BlockSpec(memory_space=pltpu.VMEM)]
     operands = [x, wt.astype(x.dtype)]

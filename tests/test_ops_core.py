@@ -217,7 +217,8 @@ def test_pallas_conv3d_fused_bias_activation(rng, activation, width):
 
 @pytest.mark.parametrize("cin,cout,d,activation",
                          [(8, 16, 8, "elu"), (3, 8, 4, None),
-                          (1, 8, 8, "relu")])
+                          (1, 8, 8, "relu"), (2, 4, 4, "elu"),
+                          (1, 8, 12, "elu")])
 def test_pallas_conv3d_planes_matches_xla(rng, cin, cout, d, activation):
     """Interpret-mode oracle for the plane-streaming kernel (v6): unpadded
     input, zero-bordered slots, 4-plane grid unroll, rolling 4-slot f32

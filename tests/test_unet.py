@@ -232,3 +232,15 @@ def test_fast_cf_forward_matches_flax():
     c = np.asarray(fast_unet_forward(model, variables, None, interpret=True,
                                      dtype=jnp.float32, resume_state=st))
     np.testing.assert_allclose(a, c, rtol=2e-4, atol=1e-4)
+
+    # flip-TTA weight trick: net(flip_D(x)) == flip_D(net_fd(x)) with every
+    # conv kernel flipped along D (exact flip equivariance of the U-Net)
+    from synthsr_tpu.models.unet_cf import flip_d_variables
+
+    ref = np.asarray(fast_unet_forward(
+        model, variables, jnp.flip(x, axis=1), interpret=True,
+        dtype=jnp.float32))
+    tta = np.flip(np.asarray(fast_unet_forward(
+        model, flip_d_variables(variables), x, interpret=True,
+        dtype=jnp.float32)), axis=1)
+    np.testing.assert_allclose(ref, tta, rtol=2e-4, atol=1e-4)
