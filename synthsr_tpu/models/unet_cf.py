@@ -205,16 +205,16 @@ def fast_unet_forward(model: UNet3D, variables, x, interpret=False,
             p0 = params[f"conv_uparm_{nl + level}_0"]
             d0, h0_, w0 = xx.shape[1:]
             cin_tot = p0["kernel"].shape[3]
+            cout0 = p0["kernel"].shape[-1]
             srcs = [skip.astype(xx.dtype), xx]
             if (w0 % 128 == 0 and d0 % 4 == 0
-                    and _plane_layout(cin_tot, p0["kernel"].shape[-1],
-                                      d0, h0_, w0) is None
-                    and all(_plane_layout(s.shape[0], p0["kernel"].shape[-1],
-                                          d0, h0_, w0) is not None
-                            or split_group_for(s.shape[0],
-                                               p0["kernel"].shape[-1],
-                                               d0, h0_, w0) is not None
-                            for s in srcs)):
+                    and (_plane_layout(cin_tot, cout0, d0, h0_, w0)
+                         is not None  # monolith (possibly rolled chunks)
+                         or all(_plane_layout(s.shape[0], cout0,
+                                              d0, h0_, w0) is not None
+                                or split_group_for(s.shape[0], cout0,
+                                                   d0, h0_, w0) is not None
+                                for s in srcs))):
                 srcs = [jax.lax.optimization_barrier(s) for s in srcs]
                 y = conv3d_cf_grouped(srcs, p0["kernel"], bias=p0["bias"],
                                       activation=fused_act,

@@ -231,7 +231,7 @@ def _kernel(x_hbm, w_ref, out_hbm, slab, patches, acc, obuf, isem,
 
 def _plane_kernel(*refs, cin, cout, d, hdim, w_out, hp, wp, th, ns,
                   has_bias, activation, n_streams, n_steps, has_accum,
-                  has_post):
+                  has_post, src_cins, rolled):
     """Plane-streaming variant (v6): grid over D in groups of 4 planes.
 
     Each INPUT plane is DMA'd from HBM exactly once as large contiguous
@@ -259,7 +259,7 @@ def _plane_kernel(*refs, cin, cout, d, hdim, w_out, hp, wp, th, ns,
       (inference BatchNorm folded into the conv epilogue).
     """
     it = iter(refs)
-    x_hbm = next(it)
+    x_srcs = [next(it) for _ in src_cins]
     w_ref = next(it)
     acc_hbm = next(it) if has_accum else None
     post_s = next(it) if has_post else None
@@ -290,10 +290,22 @@ def _plane_kernel(*refs, cin, cout, d, hdim, w_out, hp, wp, th, ns,
         return [(st, sz) for st, sz in zip(starts, sizes) if sz]
 
     def in_dma(slot, p):
-        return _group([pltpu.make_async_copy(
-            x_hbm.at[pl.ds(st, sz), p],
-            slab.at[slot, pl.ds(st, sz), pl.ds(8, hdim), pl.ds(128, w_out)],
-            isem.at[slot, j]) for j, (st, sz) in enumerate(_split(cin))])
+        # one copy group per (source, stream): source tensors (the decoder's
+        # [skip, upsampled]) land at their channel offsets inside the SAME
+        # slab slot, so the concatenated tensor never exists in HBM
+        copies = []
+        j = 0
+        off = 0
+        for src, cin_s in zip(x_srcs, src_cins):
+            for st, sz in _split(cin_s):
+                copies.append(pltpu.make_async_copy(
+                    src.at[pl.ds(st, sz), p],
+                    slab.at[slot, pl.ds(off + st, sz), pl.ds(8, hdim),
+                            pl.ds(128, w_out)],
+                    isem.at[slot, j]))
+                j += 1
+            off += cin_s
+        return _group(copies)
 
     def out_dma(oslot, z):
         return _group([pltpu.make_async_copy(
@@ -383,14 +395,28 @@ def _plane_kernel(*refs, cin, cout, d, hdim, w_out, hp, wp, th, ns,
                 def _():
                     out_dma(k % 2, d - 3).wait()
 
-            for c_idx in range(n_chunks):
-                h0 = c_idx * th
-                for dy in range(3):
-                    for dx in range(3):
-                        u = slab[s, :, 7 + h0 + dy:7 + h0 + dy + th,
-                                 127 + dx:127 + dx + w_out]
-                        patches[(dy * 3 + dx) * cin:
-                                (dy * 3 + dx + 1) * cin, :, :] = u
+            def chunk(h0):
+                # h0 may be a TRACED multiple of th (rolled fori_loop) or a
+                # python int (unrolled); all ref indexing goes through pl.ds
+                if rolled:
+                    # dy offsets 7..9 are sublane-misaligned, so load once
+                    # from the 8-aligned dynamic base and take the dy/dx
+                    # windows as STATIC sub-slices of the loaded value
+                    # (hp == h+16 makes the th+16 row read always in-bounds)
+                    v = slab[s, :, pl.ds(h0, th + 16), :]
+                    for dy in range(3):
+                        for dx in range(3):
+                            patches[(dy * 3 + dx) * cin:
+                                    (dy * 3 + dx + 1) * cin, :, :] = \
+                                v[:, 7 + dy:7 + dy + th,
+                                  127 + dx:127 + dx + w_out]
+                else:
+                    for dy in range(3):
+                        for dx in range(3):
+                            u = slab[s, :, 7 + h0 + dy:7 + h0 + dy + th,
+                                     127 + dx:127 + dx + w_out]
+                            patches[(dy * 3 + dx) * cin:
+                                    (dy * 3 + dx + 1) * cin, :, :] = u
                 if w_out % 128 == 0:
                     p2 = patches[:].reshape(krows, th * w_out)
                     c = jax.lax.dot_general(
@@ -406,15 +432,16 @@ def _plane_kernel(*refs, cin, cout, d, hdim, w_out, hp, wp, th, ns,
                         for r in range(th)]
                     c = jnp.stack(rows, axis=1)
 
+                hs = pl.ds(h0, th)
                 # dz=0 -> out[p+1]: always an overwrite (first contribution),
                 # seeded by the chained partial when present; a p+1 == d
                 # garbage write is dead — every slot use begins with its own
                 # dz=0 overwrite
                 seed0 = c[0:cout]
                 if has_accum:
-                    seed0 = seed0 + abuf[(k + 1) % 4, :, h0:h0 + th, :] \
+                    seed0 = seed0 + abuf[(k + 1) % 4, :, hs, :] \
                         .astype(jnp.float32)
-                acc[(k + 1) % 4, :, h0:h0 + th, :] = seed0
+                acc[(k + 1) % 4, :, hs, :] = seed0
 
                 # dz=1 -> out[p]: add; out[0] has no dz=0 source, so its
                 # first contribution is an overwrite (+ its partial seed)
@@ -424,24 +451,20 @@ def _plane_kernel(*refs, cin, cout, d, hdim, w_out, hp, wp, th, ns,
                     def _():
                         seed1 = upd1
                         if has_accum:
-                            seed1 = seed1 + abuf[0, :, h0:h0 + th, :] \
+                            seed1 = seed1 + abuf[0, :, hs, :] \
                                 .astype(jnp.float32)
-                        acc[0, :, h0:h0 + th, :] = seed1
+                        acc[0, :, hs, :] = seed1
 
                     @pl.when(i > 0)
                     def _():
-                        acc[0, :, h0:h0 + th, :] = \
-                            acc[0, :, h0:h0 + th, :] + upd1
+                        acc[0, :, hs, :] = acc[0, :, hs, :] + upd1
                 else:
-                    acc[k, :, h0:h0 + th, :] = \
-                        acc[k, :, h0:h0 + th, :] + upd1
+                    acc[k, :, hs, :] = acc[k, :, hs, :] + upd1
 
                 # dz=2 -> out[p-1] complete: epilogue straight to obuf
-                def emit(h0=h0, c=c):
-                    val = acc[(k - 1) % 4, :, h0:h0 + th, :] \
-                        + c[2 * cout:3 * cout]
-                    obuf[o_prev, :, h0:h0 + th, :] = \
-                        act(val).astype(obuf.dtype)
+                def emit():
+                    val = acc[(k - 1) % 4, :, hs, :] + c[2 * cout:3 * cout]
+                    obuf[o_prev, :, hs, :] = act(val).astype(obuf.dtype)
                 if k == 0:
                     pl.when(i > 0)(emit)
                 else:
@@ -451,9 +474,17 @@ def _plane_kernel(*refs, cin, cout, d, hdim, w_out, hp, wp, th, ns,
                     # out[d-1] completes with this plane's dz=1
                     @pl.when(i == n_steps - 1)
                     def _():
-                        val = acc[3, :, h0:h0 + th, :]
-                        obuf[1, :, h0:h0 + th, :] = \
-                            act(val).astype(obuf.dtype)
+                        val = acc[3, :, hs, :]
+                        obuf[1, :, hs, :] = act(val).astype(obuf.dtype)
+
+            if rolled:
+                def body(ci, carry):
+                    chunk(ci * th)
+                    return carry
+                jax.lax.fori_loop(0, n_chunks, body, 0)
+            else:
+                for c_idx in range(n_chunks):
+                    chunk(c_idx * th)
 
             def start_out():
                 out_dma(o_prev, z_prev).start()
@@ -631,16 +662,21 @@ def _pad8(n):
 
 
 def _plane_layout(cin, cout, d, h, w, dtype_bytes=2, with_accum=False):
-    """(th, ns, hp, wp, vmem_bytes) for the plane-streaming kernel, or None
-    if the shape does not qualify."""
+    """(th, ns, hp, wp, vmem_bytes, rolled) for the plane-streaming kernel,
+    or None if the shape does not qualify."""
     if w % 128 != 0 or d % 4 != 0:
         return None
     # Mosaic compile time scales with the unrolled vector-op count
     # (~ cin*h*w / vreg): cin=24 at 256^2 planes lowers in ~5 min, cin=72
     # NEVER finished (>20 min, multi-GB MLIR).  Shapes over the cap must be
     # channel-split by the caller (conv linearity) onto compiled-once groups.
+    # A rolled fori_loop chunk body (opt-in via conv3d_cf_planes(rolled=True))
+    # did NOT fix it: the chunk's (cin, th+16, wp) value load keeps ~900
+    # vregs live and register allocation explodes instead (72ch monolith
+    # still >18 min).
     if cin * h * w > 24 * 256 * 256:
         return None
+    rolled = False
     hp = ((h + 9 + 7) // 8) * 8
     wp = w + 256
     # th=32 measured fastest at 256^3 (th=64's bigger patch matrix was ~9ms
@@ -657,34 +693,45 @@ def _plane_layout(cin, cout, d, h, w, dtype_bytes=2, with_accum=False):
                     + 2 * cout * h * w * dtype_bytes)         # out planes x2
             if with_accum:
                 need += 4 * cout * h * w * dtype_bytes        # partial ring
+            if rolled:
+                need += cin * (th + 16) * wp * dtype_bytes    # chunk v-load
             if need <= 90 * 2 ** 20:
-                return th, ns, hp, wp, need
+                return th, ns, hp, wp, need, rolled
     return None
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("interpret", "activation", "n_streams"))
+                   static_argnames=("interpret", "activation", "n_streams", "rolled"))
 def conv3d_cf_planes(x, w, bias=None, activation: str | None = None,
                      interpret: bool = False, n_streams: int = 2,
-                     accum=None, post=None):
+                     accum=None, post=None, rolled=None):
     """SAME 3-cubed conv, channels-first, plane-streaming (see _plane_kernel).
 
     Same contract as conv3d_cf; requires W % 128 == 0 and D % 4 == 0 (use
     conv3d_cf otherwise).  The input is consumed UNPADDED — no host pad pass.
+    ``x`` may be a LIST of (C_i, D, H, W) sources conceptually concatenated
+    along C: each is DMA'd to its channel offset of the slab slots, so the
+    concatenation never materializes in HBM.
 
     ``accum``: optional (C_out, D, H, W) partial-conv output added in-kernel
     (channel-group chaining — no XLA sum pass).  ``post``: optional (2, C_out)
     per-channel (scale, bias) affine applied AFTER the activation (folded
     inference BatchNorm).
     """
-    cin, d, h, wdim = x.shape
+    sources = list(x) if isinstance(x, (list, tuple)) else [x]
+    src_cins = tuple(s.shape[0] for s in sources)
+    cin = sum(src_cins)
+    d, h, wdim = sources[0].shape[1:]
+    x = sources[0]
     cout = w.shape[-1]
-    assert w.shape[:3] == (3, 3, 3)
+    assert w.shape[:3] == (3, 3, 3) and w.shape[3] == cin
     layout = _plane_layout(cin, cout, d, h, wdim,
                            with_accum=accum is not None)
     assert layout is not None, \
-        f"shape {x.shape}->{cout} does not fit the plane-streaming kernel"
-    th, ns, hp, wp, _ = layout
+        f"shape ({cin},{d},{h},{wdim})->{cout} does not fit the " \
+        f"plane-streaming kernel"
+    th, ns, hp, wp, _, rolled_auto = layout
+    rolled = rolled_auto if rolled is None else rolled
 
     wt = jnp.transpose(w.reshape(3, 9 * cin, cout), (0, 2, 1)) \
         .reshape(3 * cout, 9 * cin)
@@ -705,7 +752,7 @@ def conv3d_cf_planes(x, w, bias=None, activation: str | None = None,
     has_post = post is not None
     n_steps = d // 4
 
-    if cin <= 2 and not has_accum:
+    if cin <= 2 and not has_accum and len(sources) == 1:
         # output-stationary small-cin variant: 27-tap dot per output plane,
         # no f32 accumulator ring (whose cin-independent traffic dominated
         # here: measured 11.9 -> ~4 ms for the 1-channel first conv)
@@ -747,9 +794,10 @@ def conv3d_cf_planes(x, w, bias=None, activation: str | None = None,
             interpret=interpret,
         )(*operands)
 
-    in_specs = [pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
-                pl.BlockSpec(memory_space=pltpu.VMEM)]
-    operands = [x, wt.astype(x.dtype)]
+    in_specs = [pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)
+                for _ in sources] + [pl.BlockSpec(memory_space=pltpu.VMEM)]
+    operands = list(sources) + [wt.astype(x.dtype)]
+    n_in_copies = sum(min(nst, c) for c in src_cins)
     if has_accum:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM))
         operands.append(accum)
@@ -767,7 +815,7 @@ def conv3d_cf_planes(x, w, bias=None, activation: str | None = None,
     ]
     if has_accum:
         scratch.append(pltpu.VMEM((4, cout, h, wdim), x.dtype))
-    scratch.append(pltpu.SemaphoreType.DMA((ns, nst)))
+    scratch.append(pltpu.SemaphoreType.DMA((ns, n_in_copies)))
     scratch.append(pltpu.SemaphoreType.DMA((2, nst)))
     if has_accum:
         scratch.append(pltpu.SemaphoreType.DMA((4,)))
@@ -776,7 +824,8 @@ def conv3d_cf_planes(x, w, bias=None, activation: str | None = None,
                           w_out=wdim, hp=hp, wp=wp, th=th, ns=ns,
                           has_bias=has_bias, activation=activation,
                           n_streams=nst, n_steps=n_steps,
-                          has_accum=has_accum, has_post=has_post),
+                          has_accum=has_accum, has_post=has_post,
+                          src_cins=src_cins, rolled=rolled),
         grid=(n_steps,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
@@ -819,9 +868,16 @@ def conv3d_cf_grouped(x, w, bias=None, activation: str | None = None,
     concatenated tensor is never materialized in HBM.  ``group`` (single-x
     only) must divide cin; auto-picked per source when None.
     """
-    sources = x if isinstance(x, (list, tuple)) else [x]
+    sources = list(x) if isinstance(x, (list, tuple)) else [x]
     d, h, wdim = sources[0].shape[1:]
     cout = w.shape[-1]
+    total = sum(s.shape[0] for s in sources)
+    if group is None and _plane_layout(total, cout, d, h, wdim) is not None:
+        # fits as ONE (possibly rolled-chunk) monolithic kernel reading the
+        # sources at channel offsets — no chaining, no concat
+        return conv3d_cf_planes(sources if len(sources) > 1 else sources[0],
+                                w, bias=bias, activation=activation,
+                                post=post, interpret=interpret)
     pieces = []  # (src_slice, w_slice)
     off = 0
     for src in sources:

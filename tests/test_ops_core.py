@@ -249,6 +249,39 @@ def test_pallas_conv3d_planes_matches_xla(rng, cin, cout, d, activation):
     np.testing.assert_allclose(ours, oracle, atol=1e-5)
 
 
+def test_pallas_conv3d_planes_rolled_and_multisource(rng):
+    """The rolled-chunk fori_loop body (monolithic big-cin compile path) and
+    the multi-source channel-offset DMA (concat-free decoder) both equal the
+    conv of the concatenation."""
+    import jax
+    import jax.lax as lax
+
+    from synthsr_tpu.ops.conv_pallas import conv3d_cf_planes
+
+    x = rng.normal(size=(12, 8, 32, 128)).astype(np.float32)
+    w = rng.normal(size=(3, 3, 3, 12, 8)).astype(np.float32) * 0.1
+    b = rng.normal(size=(8,)).astype(np.float32)
+    post = rng.normal(size=(2, 8)).astype(np.float32)
+    xl = jnp.transpose(jnp.asarray(x), (1, 2, 3, 0))[None]
+    oracle = jax.nn.elu(lax.conv_general_dilated(
+        xl, jnp.asarray(w), (1, 1, 1), "SAME",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))[0] + b)
+    oracle = oracle * post[0] + post[1]
+    oracle = np.transpose(np.asarray(oracle), (3, 0, 1, 2))
+
+    rolled = np.asarray(conv3d_cf_planes(
+        jnp.asarray(x), jnp.asarray(w), bias=jnp.asarray(b),
+        activation="elu", post=jnp.asarray(post), rolled=True,
+        interpret=True))
+    np.testing.assert_allclose(rolled, oracle, atol=1e-5)
+
+    multi = np.asarray(conv3d_cf_planes(
+        [jnp.asarray(x[:4]), jnp.asarray(x[4:])], jnp.asarray(w),
+        bias=jnp.asarray(b), activation="elu", post=jnp.asarray(post),
+        rolled=True, interpret=True))
+    np.testing.assert_allclose(multi, oracle, atol=1e-5)
+
+
 def test_pallas_conv3d_grouped_matches_xla(rng):
     """Channel-grouped partial-conv sum (conv linearity; the 72ch decoder
     concat conv past the plane kernel's compile cap) equals the full conv."""
