@@ -204,7 +204,7 @@ def _kernel(x_hbm, w_ref, out_hbm, slab, patches, acc, obuf, isem,
                         val = jnp.where(val > 0, val, jnp.exp(val) - 1.0)
                     elif activation == "relu":
                         val = jnp.maximum(val, 0.0)
-                    obuf[slot, :, z, :, :] = val.astype(obuf.dtype)
+                    obuf[slot, :, z, :, 0:w_out] = val.astype(obuf.dtype)
 
         out_dma(slot, flat).start()
         # prefetch this slot's next input (two blocks ahead)
@@ -948,6 +948,12 @@ def conv3d_cf(x, w, bias=None, activation: str | None = None,
     krows = 9 * cin + (1 if has_bias else 0)
 
     n_db, n_hb = d // td, h // th
+    # the OUTPUT is 128-aligned in W too: DMA memref slices need 128-aligned
+    # minor dims, so a W=192 obuf slice fails Mosaic (found on hardware —
+    # every 128-multiple shape had masked this); the kernel stores only the
+    # real columns, the DMA moves the full aligned rows, and the padding is
+    # sliced off afterwards
+    wq = ((wdim + 127) // 128) * 128
     out = pl.pallas_call(
         functools.partial(_kernel, cin=cin, cout=cout, wp=wp, td=td, th=th,
                           w_out=wdim, n_db=n_db, n_hb=n_hb,
@@ -959,12 +965,12 @@ def conv3d_cf(x, w, bias=None, activation: str | None = None,
             pl.BlockSpec(memory_space=pltpu.VMEM),  # z-stacked weights
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
-        out_shape=jax.ShapeDtypeStruct((cout, d, h, wdim), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((cout, d, h, wq), x.dtype),
         scratch_shapes=[
             pltpu.VMEM((2, cin, td + 2, th + 8, wp), x.dtype),
             pltpu.VMEM((krows, th, wdim), x.dtype),
             pltpu.VMEM((3, cout, th, wdim), jnp.float32),
-            pltpu.VMEM((2, cout, td, th, wdim), x.dtype),
+            pltpu.VMEM((2, cout, td, th, wq), x.dtype),
             pltpu.SemaphoreType.DMA((2, ns)),
             pltpu.SemaphoreType.DMA((2, ns)),
         ],
@@ -972,4 +978,4 @@ def conv3d_cf(x, w, bias=None, activation: str | None = None,
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(xp, wt.astype(x.dtype))
-    return out
+    return out if wq == wdim else out[..., :wdim]
