@@ -67,7 +67,7 @@ def main():
     # per synced round trip) overlaps device compute — the natural structure
     # of a production predict service; every volume is still fully synced
     # before the clock stops
-    n, lag = 12, 2
+    n, lag = 16, 2
     pending = []
     t0 = time.time()
     for _ in range(n):
