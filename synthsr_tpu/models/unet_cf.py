@@ -49,7 +49,7 @@ def _bn_affine(p, s, eps=1e-3):
     return jnp.stack([a, b])
 
 
-def _conv_cf(p, x, interpret=False, activation=None, post=None):
+def _conv_cf(p, x, interpret=False, activation=None, post=None, head=None):
     # optimization barriers keep XLA from folding the pallas output into
     # VMEM-resident fusions (full-graph scheduling OOMs otherwise); bias and
     # activation run fused inside the kernel epilogue (saves one full HBM
@@ -67,13 +67,14 @@ def _conv_cf(p, x, interpret=False, activation=None, post=None):
     act = _activation_fn(activation)
     if _plane_layout(cin, cout, d, h, wdim) is not None:
         y = conv3d_cf_planes(x, kern.astype(x.dtype), bias=p["bias"],
-                             activation=activation, post=post,
+                             activation=activation, post=post, head=head,
                              interpret=interpret)
     elif wdim % 128 == 0 and d % 4 == 0 and \
             split_group_for(cin, cout, d, h, wdim) is not None:
         y = conv3d_cf_grouped(x, kern, bias=p["bias"], activation=activation,
-                              post=post, interpret=interpret)
+                              post=post, head=head, interpret=interpret)
     elif cin <= 48:
+        assert head is None, "head folding requires a plane-kernel path"
         y = conv3d_cf(x, kern.astype(x.dtype), bias=p["bias"],
                       activation=activation, interpret=interpret)
         if post is not None:
@@ -82,6 +83,7 @@ def _conv_cf(p, x, interpret=False, activation=None, post=None):
     else:
         # big-cin blocked kernel: run UNFUSED (the fused 72ch variant never
         # finished Mosaic compile); bias + activation as one XLA pass
+        assert head is None, "head folding requires a plane-kernel path"
         y = conv3d_cf(x, kern.astype(x.dtype), interpret=interpret)
         y = act(y + p["bias"].astype(y.dtype).reshape(-1, 1, 1, 1))
         if post is not None:
@@ -238,11 +240,32 @@ def fast_unet_forward(model: UNet3D, variables, x, interpret=False,
                 # decoder BNs have no skip consumers (the encoder's do), so
                 # the post-activation affine replaces a whole-volume XLA
                 # pass.  Only valid when the activation is fused in-kernel
-                # (the affine must come after it).
+                # (the affine must come after it).  On the FINAL level the
+                # 1x1x1 likelihood conv folds in too (single regression
+                # output, linear final activation): the 24-channel
+                # penultimate tensor never reaches HBM.
                 last = conv == model.nb_conv_per_level - 1
                 post = _bn_affine(bnp, bns) if (last and fused_act) else None
+                lik = params["likelihood"]
+                d_, h_, w_ = xx.shape[1:]
+                cout_ = p["kernel"].shape[-1]
+                can_head = (
+                    last and fused_act and level == nl - 2
+                    and model.final_pred_activation != "softmax"
+                    and lik["kernel"].shape[-1] == 1
+                    and (_plane_layout(cin, cout_, d_, h_, w_) is not None
+                         or (w_ % 128 == 0 and d_ % 4 == 0
+                             and split_group_for(cin, cout_, d_, h_, w_)
+                             is not None)))
+                head = None
+                if can_head:
+                    head = (lik["kernel"].reshape(-1),
+                            lik["bias"].reshape(()))
                 y = _conv_cf(p, xx, interpret=interpret, activation=fused_act,
-                             post=post)
+                             post=post, head=head)
+                if head is not None:
+                    # y is the final (1, X, Y, Z) f32 prediction
+                    return jnp.transpose(y, (1, 2, 3, 0))[None]
                 xx = y if fused_act else act(y)
                 bn_folded = post is not None
             else:

@@ -231,7 +231,7 @@ def _kernel(x_hbm, w_ref, out_hbm, slab, patches, acc, obuf, isem,
 
 def _plane_kernel(*refs, cin, cout, d, hdim, w_out, hp, wp, th, ns,
                   has_bias, activation, n_streams, n_steps, has_accum,
-                  has_post, src_cins, rolled):
+                  has_post, src_cins, rolled, has_head=False):
     """Plane-streaming variant (v6): grid over D in groups of 4 planes.
 
     Each INPUT plane is DMA'd from HBM exactly once as large contiguous
@@ -264,11 +264,14 @@ def _plane_kernel(*refs, cin, cout, d, hdim, w_out, hp, wp, th, ns,
     acc_hbm = next(it) if has_accum else None
     post_s = next(it) if has_post else None
     post_b = next(it) if has_post else None
+    head_a = next(it) if has_head else None
+    head_b = next(it) if has_head else None
     out_hbm = next(it)
     slab, patches, acc, obuf = next(it), next(it), next(it), next(it)
     abuf = next(it) if has_accum else None
     isem, osem = next(it), next(it)
     asem = next(it) if has_accum else None
+    cq = 1 if has_head else cout  # stored output channels
     i = pl.program_id(0)
 
     class _group:
@@ -311,7 +314,7 @@ def _plane_kernel(*refs, cin, cout, d, hdim, w_out, hp, wp, th, ns,
         return _group([pltpu.make_async_copy(
             obuf.at[oslot, pl.ds(st, sz)],
             out_hbm.at[pl.ds(st, sz), z],
-            osem.at[oslot, j]) for j, (st, sz) in enumerate(_split(cout))])
+            osem.at[oslot, j]) for j, (st, sz) in enumerate(_split(cq))])
 
     def adma(slot, z):
         return pltpu.make_async_copy(acc_hbm.at[:, z], abuf.at[slot],
@@ -330,6 +333,12 @@ def _plane_kernel(*refs, cin, cout, d, hdim, w_out, hp, wp, th, ns,
             # read needs no layout cast (Mosaic cannot move a lane vector
             # onto the outer axis).
             val = val * post_s[:] + post_b[:]
+        if has_head:
+            # final 1x1x1 likelihood conv folded in: per-channel weighted
+            # reduction over the outer axis + scalar bias — the penultimate
+            # C_out-channel tensor never reaches HBM
+            val = jnp.sum(val * head_a[:], axis=0, keepdims=True) \
+                + head_b[:]
         return val
 
     @pl.when(i == 0)
@@ -704,7 +713,7 @@ def _plane_layout(cin, cout, d, h, w, dtype_bytes=2, with_accum=False):
                    static_argnames=("interpret", "activation", "n_streams", "rolled"))
 def conv3d_cf_planes(x, w, bias=None, activation: str | None = None,
                      interpret: bool = False, n_streams: int = 2,
-                     accum=None, post=None, rolled=None):
+                     accum=None, post=None, rolled=None, head=None):
     """SAME 3-cubed conv, channels-first, plane-streaming (see _plane_kernel).
 
     Same contract as conv3d_cf; requires W % 128 == 0 and D % 4 == 0 (use
@@ -716,7 +725,10 @@ def conv3d_cf_planes(x, w, bias=None, activation: str | None = None,
     ``accum``: optional (C_out, D, H, W) partial-conv output added in-kernel
     (channel-group chaining — no XLA sum pass).  ``post``: optional (2, C_out)
     per-channel (scale, bias) affine applied AFTER the activation (folded
-    inference BatchNorm).
+    inference BatchNorm).  ``head``: optional (a, b) with a (C_out,) and b
+    scalar — the final 1x1x1 likelihood conv folded in as a channel
+    reduction after act/post; the output becomes (1, D, H, W) float32 and
+    the C_out-channel tensor never reaches HBM.
     """
     sources = list(x) if isinstance(x, (list, tuple)) else [x]
     src_cins = tuple(s.shape[0] for s in sources)
@@ -807,16 +819,25 @@ def conv3d_cf_planes(x, w, bias=None, activation: str | None = None,
         operands.append(post[0].reshape(cout, 1, 1))
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
         operands.append(post[1].reshape(cout, 1, 1))
+    has_head = head is not None
+    if has_head:
+        ha, hb = head
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        operands.append(jnp.asarray(ha, jnp.float32).reshape(cout, 1, 1))
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        operands.append(jnp.asarray(hb, jnp.float32).reshape(1, 1, 1))
+    cq = 1 if has_head else cout
+    out_dtype = jnp.float32 if has_head else x.dtype
     scratch = [
         pltpu.VMEM((ns, cin, hp, wp), x.dtype),
         pltpu.VMEM((krows, th, wdim), x.dtype),
         pltpu.VMEM((4, cout, h, wdim), jnp.float32),
-        pltpu.VMEM((2, cout, h, wdim), x.dtype),
+        pltpu.VMEM((2, cq, h, wdim), out_dtype),
     ]
     if has_accum:
         scratch.append(pltpu.VMEM((4, cout, h, wdim), x.dtype))
     scratch.append(pltpu.SemaphoreType.DMA((ns, n_in_copies)))
-    scratch.append(pltpu.SemaphoreType.DMA((2, nst)))
+    scratch.append(pltpu.SemaphoreType.DMA((2, max(1, min(nst, cq)))))
     if has_accum:
         scratch.append(pltpu.SemaphoreType.DMA((4,)))
     out = pl.pallas_call(
@@ -825,11 +846,12 @@ def conv3d_cf_planes(x, w, bias=None, activation: str | None = None,
                           has_bias=has_bias, activation=activation,
                           n_streams=nst, n_steps=n_steps,
                           has_accum=has_accum, has_post=has_post,
-                          src_cins=src_cins, rolled=rolled),
+                          src_cins=src_cins, rolled=rolled,
+                          has_head=has_head),
         grid=(n_steps,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
-        out_shape=jax.ShapeDtypeStruct((cout, d, h, wdim), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((cq, d, h, wdim), out_dtype),
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024),
@@ -852,7 +874,7 @@ def split_group_for(cin, cout, d, h, w):
 
 def conv3d_cf_grouped(x, w, bias=None, activation: str | None = None,
                       group: int | None = None, interpret: bool = False,
-                      post=None):
+                      post=None, head=None):
     """Big-cin SAME 3-cubed conv as a sum of channel-group partial convs.
 
     Convolution is linear in the input channels, so a conv whose cin is past
@@ -877,7 +899,7 @@ def conv3d_cf_grouped(x, w, bias=None, activation: str | None = None,
         # sources at channel offsets — no chaining, no concat
         return conv3d_cf_planes(sources if len(sources) > 1 else sources[0],
                                 w, bias=bias, activation=activation,
-                                post=post, interpret=interpret)
+                                post=post, head=head, interpret=interpret)
     pieces = []  # (src_slice, w_slice)
     off = 0
     for src in sources:
@@ -900,6 +922,7 @@ def conv3d_cf_grouped(x, w, bias=None, activation: str | None = None,
                              bias=bias if last else None,
                              activation=activation if last else None,
                              post=post if last else None,
+                             head=head if last else None,
                              accum=y, interpret=interpret)
     return y
 

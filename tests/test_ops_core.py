@@ -310,6 +310,19 @@ def test_pallas_conv3d_grouped_matches_xla(rng):
         bias=jnp.asarray(b), activation="elu", interpret=True))
     np.testing.assert_allclose(ours2, oracle, atol=1e-5)
 
+    # folded likelihood head: channel reduction + scalar bias after the
+    # activation, in the LAST group's epilogue (f32 single-channel output)
+    ha = rng.normal(size=(8,)).astype(np.float32)
+    hb = np.float32(rng.normal())
+    ours3 = np.asarray(conv3d_cf_grouped(
+        jnp.asarray(x), jnp.asarray(w), bias=jnp.asarray(b),
+        activation="elu", group=8, head=(jnp.asarray(ha), jnp.asarray(hb)),
+        interpret=True))
+    head_oracle = (oracle * ha.reshape(-1, 1, 1, 1)).sum(axis=0,
+                                                         keepdims=True) + hb
+    assert ours3.shape == (1,) + oracle.shape[1:]
+    np.testing.assert_allclose(ours3, head_oracle, rtol=2e-4, atol=1e-4)
+
 
 def test_stencil_warp_equals_gather_warp(rng):
     """For |shift| <= radius the stencil warp must equal transform() exactly,
