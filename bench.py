@@ -42,13 +42,13 @@ def main():
     # kernel (ops/conv_pallas.py); TTA passes as SEPARATE executables: a
     # single 256³ forward peaks at ~13.6G temp HBM; two passes in one XLA
     # program OOM a 16G chip.  The flip pass runs the SAME executables with
-    # D-flipped conv kernels (exact flip equivariance) so only the output is
-    # flipped back — no input-flip volume pass.
+    # D-flipped conv kernels: net_fd(x) == flip(net(flip(x))) (exact flip
+    # equivariance), so run(x, v_flip) is ALREADY the aligned flipped-back
+    # TTA prediction — no input-flip volume pass and no output flip.
     run = make_fast_predictor(model, variables, (1, 256, 256, 256, 1))
     v_flip = flip_d_variables(variables)
     combine = jax.jit(
-        lambda y0, y1: jnp.clip(255.0 * (0.5 * y0 + 0.5 * jnp.flip(y1, 1)),
-                                0.0, 128.0))
+        lambda y0, y1: jnp.clip(255.0 * (0.5 * y0 + 0.5 * y1), 0.0, 128.0))
 
     def predict(variables, x):
         y0 = run(x)

@@ -42,7 +42,9 @@ def build_arg_parser():
                    help="channels-first Pallas conv forward (~1.3x the XLA "
                         "path on TPU; bf16-level output differences). "
                         "auto = on for single-channel TPU runs")
-    p.add_argument("--lowfield", action="store_true", help=argparse.SUPPRESS)
+    # note: no --lowfield flag — the reference CLI has none and ships no
+    # low-field model (models/models.txt lists only the all-purpose and
+    # hyperfine weights); a silently-ignored flag would be a footgun
     return p
 
 
@@ -122,8 +124,10 @@ class Predictor:
         self.disable_flipping = disable_flipping
         self.ct = ct
         if fast_inference == "auto":
+            # cin <= 2 qualifies for the output-stationary first-conv kernel
+            # (ops/conv_pallas.py); every deeper conv is channel-count-agnostic
             fast_inference = ("on" if jax.default_backend() == "tpu"
-                              and n_channels == 1 and dt == jnp.bfloat16
+                              and n_channels <= 2 and dt == jnp.bfloat16
                               else "off")
         self.use_fast = fast_inference == "on"
         self._jitted = {}
@@ -147,14 +151,18 @@ class Predictor:
                 variables = self.variables
                 fast = make_fast_predictor(model, variables,
                                            (1, *shape, 1))
-                # flip-TTA pass: same executables, D-flipped conv kernels
-                # (exact flip equivariance) — no input-flip volume pass
+                # flip-TTA pass: same executables, D-flipped conv kernels.
+                # By the equivariance identity net(flip(x)) == flip(net_fd(x)),
+                # net_fd(s) == flip(net(flip(s))) — i.e. fast(s, v_flip) IS the
+                # flipped-back TTA prediction already; no input-flip volume
+                # pass and NO output flip (an extra flip here would average
+                # spatially misaligned volumes).
                 v_flip = flip_d_variables(variables) if flip else None
 
                 def run(_, s):
                     y0 = fast(s)
                     if flip:
-                        y1 = jnp.flip(fast(s, v_flip), axis=1)
+                        y1 = fast(s, v_flip)
                         return combine(y0, y1)
                     return post(y0)
             else:

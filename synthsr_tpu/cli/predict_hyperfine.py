@@ -26,6 +26,11 @@ def build_arg_parser():
     p.add_argument("--threads", type=int, default=1, help="CPU threads")
     p.add_argument("--model", default=None,
                    help="alternative model weights (.h5 or .msgpack)")
+    p.add_argument("--fast_inference", choices=["auto", "on", "off"],
+                   default="auto",
+                   help="channels-first Pallas conv forward (the 2-channel "
+                        "first conv qualifies for the output-stationary "
+                        "kernel). auto = on for TPU bf16 runs")
     return p
 
 
@@ -62,7 +67,9 @@ def _prepare_paths(t1, t2, preds):
 class HyperfinePredictor:
     """T1+T2 residual predictor (compiles once per padded shape)."""
 
-    def __init__(self, model_path=None, compute_dtype="bfloat16"):
+    def __init__(self, model_path=None, compute_dtype="bfloat16",
+                 fast_inference="auto"):
+        import jax
         import jax.numpy as jnp
 
         from ..models.unet import synthsr_unet
@@ -73,6 +80,10 @@ class HyperfinePredictor:
         self.variables = load_unet_variables(
             self.model, model_path if model_path is not None else DEFAULT_MODEL,
             example_channels=2)
+        if fast_inference == "auto":
+            fast_inference = ("on" if jax.default_backend() == "tpu"
+                              and dt == jnp.bfloat16 else "off")
+        self.use_fast = fast_inference == "on"
         self._jitted = {}
 
     def _fwd(self, shape):
@@ -80,7 +91,14 @@ class HyperfinePredictor:
 
         if shape not in self._jitted:
             model = self.model
-            self._jitted[shape] = jax.jit(lambda v, s: model.apply(v, s))
+            if self.use_fast:
+                from ..models.unet_cf import make_fast_predictor
+
+                fast = make_fast_predictor(model, self.variables,
+                                           (1, *shape, 2))
+                self._jitted[shape] = lambda v, s: fast(s, v)
+            else:
+                self._jitted[shape] = jax.jit(lambda v, s: model.apply(v, s))
         return self._jitted[shape]
 
     def predict_pair(self, im1, aff1, im2, aff2):
@@ -154,7 +172,8 @@ def main(argv=None):
     t1s, t2s, outs = _prepare_paths(args.path_t1_images, args.path_t2_images,
                                     args.path_predictions)
     print(f"Found {len(t1s)} images")
-    predictor = HyperfinePredictor(model_path=args.model)
+    predictor = HyperfinePredictor(model_path=args.model,
+                                   fast_inference=args.fast_inference)
     for idx, (p1, p2, po) in enumerate(zip(t1s, t2s, outs)):
         print(f"  Working on image {idx + 1}")
         print("  " + p1 + ", " + p2)

@@ -1,7 +1,10 @@
 """Host-side volume loading + numpy geometry (RAS alignment, resampling, crops).
 
-Fresh TPU-framework implementation of the behavior of the reference's volume
-layer: ``ext/lab2im/utils.py:76-207`` (load/save/get_volume_info) and
+Direct behavioral port of the reference's volume layer — these host-side
+helpers' numerical semantics ARE the contract (orientation algebra, resampling
+conventions), so the core functions (``get_ras_axes``, ``align_volume_to_ref``,
+``resample_volume``, crop/pad/flip) follow the reference statement-for-
+statement: ``ext/lab2im/utils.py:76-207`` (load/save/get_volume_info) and
 ``ext/lab2im/edit_volumes.py`` geometry ops (resample_volume :504,
 resample_volume_like :555, get_ras_axes :591, align_volume_to_ref :609,
 blur_volume :657, mask_volume :95, rescale_volume :148, crop_volume :179,

@@ -301,9 +301,10 @@ def flip_d_variables(variables):
     where net_fd uses every conv kernel flipped along its D axis (axis 0 of
     DHWIO; 1x1x1 kernels are unchanged).  The U-Net is exactly equivariant
     to the flip (SAME convs, 2x pools/upsamples on even dims, per-channel
-    BN/activations), so the TTA forward reuses the SAME compiled executables
-    with these variables and only the OUTPUT needs flipping back — the
-    input-flip volume pass disappears."""
+    BN/activations).  Equivalently net_fd(x) == flip_D(net(flip_D(x))): the
+    forward with these variables IS the aligned flipped-back TTA prediction —
+    the TTA pass reuses the SAME compiled executables with NO input flip and
+    NO output flip."""
     def f(p):
         if hasattr(p, "ndim") and p.ndim == 5 and p.shape[0] > 1:
             return jnp.flip(p, axis=0)

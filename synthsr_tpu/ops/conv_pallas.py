@@ -768,6 +768,9 @@ def conv3d_cf_planes(x, w, bias=None, activation: str | None = None,
         # output-stationary small-cin variant: 27-tap dot per output plane,
         # no f32 accumulator ring (whose cin-independent traffic dominated
         # here: measured 11.9 -> ~4 ms for the 1-channel first conv)
+        assert head is None, \
+            "the cin<=2 output-stationary variant does not implement the " \
+            "folded likelihood head; pass head=None and apply it separately"
         wt27 = jnp.transpose(w.reshape(27 * cin, cout), (1, 0))
         if has_bias:
             wt27 = jnp.concatenate(
@@ -889,6 +892,18 @@ def conv3d_cf_grouped(x, w, bias=None, activation: str | None = None,
     along C — the decoder concat convs pass [skip, upsampled] directly so the
     concatenated tensor is never materialized in HBM.  ``group`` (single-x
     only) must divide cin; auto-picked per source when None.
+
+    Precision note (round-2 advisor): intermediate partials chain through HBM
+    in ``x.dtype`` — on TPU each non-final group's running sum takes one bf16
+    round-to-nearest quantization (half-ULP = 2^-9 relative) that the
+    monolithic f32-accumulated kernel does not have.  For the worst shipped
+    case (144-ch decoder concat in 24-ch groups = 5 roundtrips) the bound is
+    5·2^-9 ≈ 1% worst-case / ~0.25% RMS of the running partial — the same
+    order as the bf16 MXU compute noise already present in every dot, and
+    covered by the hardware fast-vs-XLA tolerance check.  An f32 intermediate
+    was considered and rejected: it doubles the accum ring VMEM + DMA traffic
+    and breaks the dtype_bytes=2 ``_plane_layout`` sizing that keeps the
+    group executables shared.
     """
     sources = list(x) if isinstance(x, (list, tuple)) else [x]
     d, h, wdim = sources[0].shape[1:]

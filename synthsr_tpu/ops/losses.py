@@ -32,10 +32,13 @@ def laplace_nll(pred_intensities, pred_spreads, target):
     return jnp.mean(jnp.log(2.0 * b) + jnp.abs(err) / b)
 
 
-def _ssim_plane(x, y, max_val=1.0, filter_size=11, filter_sigma=1.5,
-                k1=0.01, k2=0.03):
-    """SSIM of (..., H, W) planes with tf.image.ssim semantics: 11-tap
-    gaussian window (σ=1.5), VALID padding, biased (co)variances."""
+def ssim_plane_map(x, y, max_val=1.0, filter_size=11, filter_sigma=1.5,
+                   k1=0.01, k2=0.03):
+    """Per-window SSIM map of (..., H, W) planes with tf.image.ssim
+    semantics: 11-tap gaussian window (σ=1.5), VALID padding, biased
+    (co)variances.  Returns the (..., H-10, W-10) lum·cs map (exposed so the
+    spatially-sharded loss can mask windows by global coordinate,
+    parallel/halo_train.py)."""
     off = np.arange(filter_size, dtype=np.float64) - (filter_size - 1) / 2
     w = np.exp(-(off ** 2) / (2 * filter_sigma ** 2))
     w /= w.sum()
@@ -62,7 +65,11 @@ def _ssim_plane(x, y, max_val=1.0, filter_size=11, filter_sigma=1.5,
     mu_xy = filt2(x * y) - mu_x * mu_y
     lum = (2 * mu_x * mu_y + c1) / (mu_x ** 2 + mu_y ** 2 + c1)
     cs = (2 * mu_xy + c2) / (mu_xx + mu_yy + c2)
-    return jnp.mean(lum * cs, axis=(-2, -1))
+    return lum * cs
+
+
+def _ssim_plane(x, y, max_val=1.0, **kw):
+    return jnp.mean(ssim_plane_map(x, y, max_val, **kw), axis=(-2, -1))
 
 
 def ssim3d_loss(pred, target, max_val=1.0):

@@ -118,14 +118,14 @@ def sharded_unet_apply(model, variables, x, mesh, axis="space", jit=True):
     assert x.shape[1] % (n * model.pool_size ** (model.nb_levels - 1)) == 0, \
         (f"X={x.shape[1]} must be divisible by n_devices*2^(levels-1)="
          f"{n * model.pool_size ** (model.nb_levels - 1)}")
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     fwd = shard_map(
         partial(_local_unet_forward, model=model, axis_name=axis),
         mesh=mesh,
         in_specs=(P(), P(), P(None, axis)),
         out_specs=P(None, axis),
-        check_rep=False)
+        check_vma=False)
 
     def run(variables, x):
         return fwd(variables["params"], variables["batch_stats"], x)

@@ -35,6 +35,7 @@ import optax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..models.unet import _activation
+from ..ops.losses import ssim_plane_map
 from .halo import _halo_conv
 
 
@@ -137,6 +138,81 @@ def _global_masked_loss(pred, target, crop, axis_name, metrics, local_x,
     return jnp.sum(masked) / count
 
 
+def _halo_pad_last(v, axis_name, h):
+    """Pad the LAST axis (the sharded global X, transposed trailing) with h
+    neighbour voxels via ppermute; global edges get zeros (same machinery as
+    halo.halo_pad, different axis)."""
+    idx = jax.lax.axis_index(axis_name)
+    n = jax.lax.axis_size(axis_name)
+    left_edge = v[..., :h]
+    right_edge = v[..., -h:]
+    from_left = jax.lax.ppermute(right_edge, axis_name,
+                                 [(i, (i + 1) % n) for i in range(n)])
+    from_right = jax.lax.ppermute(left_edge, axis_name,
+                                  [(i, (i - 1) % n) for i in range(n)])
+    zeros = jnp.zeros_like(left_edge)
+    from_left = jnp.where(idx == 0, zeros, from_left)
+    from_right = jnp.where(idx == n - 1, zeros, from_right)
+    return jnp.concatenate([from_left, v, from_right], axis=-1)
+
+
+def _global_ssim3d_loss(pred, target, crop, axis_name, local_x, global_x,
+                        max_val=1.0, filter_size=11):
+    """LOCAL SHARD of the 3-plane SSIM loss (ops/losses.ssim3d_loss semantics,
+    reference metrics_model.py:108-128) over the centre ``crop`` of the
+    GLOBAL X-sharded volume; shards SUM to crop-then-ssim on the unsharded
+    volume (differentiate the local shard — see _global_masked_loss).
+
+    Crop-exactness: the SSIM window conv is VALID, so the windows of the
+    CROPPED volume are exactly the full-volume windows lying fully inside the
+    crop — cropping the sharded X axis therefore reduces to masking window
+    centres by global coordinate, no data movement.  Two of the three plane
+    orientations window only (Y, Z) and are fully local; the third windows
+    along X and needs a (filter_size//2)-voxel halo exchange — the same
+    ppermute machinery as the convolutions."""
+    hw = filter_size // 2
+    assert local_x >= hw, \
+        (f"ssim needs a {hw}-voxel halo: local X shard {local_x} is too thin "
+         f"(use fewer shards or a larger volume)")
+    p = pred[..., 0].astype(jnp.float32)
+    t = target[..., 0].astype(jnp.float32)
+    b, y, z = p.shape[0], p.shape[2], p.shape[3]
+    if crop is None:
+        bx0, cx, by0, cy, bz0, cz = 0, global_x, 0, y, 0, z
+    else:
+        from ..utils.misc import reformat_to_list
+
+        crop3 = reformat_to_list(crop, length=3)
+        bx0, cx = int((global_x - crop3[0]) / 2), crop3[0]
+        by0, cy = int((y - crop3[1]) / 2), crop3[1]
+        bz0, cz = int((z - crop3[2]) / 2), crop3[2]
+    # Y/Z crops are local static slices
+    p = p[:, :, by0:by0 + cy, bz0:bz0 + cz]
+    t = t[:, :, by0:by0 + cy, bz0:bz0 + cz]
+    gx = jax.lax.axis_index(axis_name) * local_x + jnp.arange(local_x)
+
+    # orientations 1+2: (Y,Z) and (Z,Y) windows, local; any x plane inside
+    # the crop contributes
+    in_x = ((gx >= bx0) & (gx < bx0 + cx)).astype(jnp.float32)
+    m1 = ssim_plane_map(p, t, max_val)
+    m2 = ssim_plane_map(jnp.swapaxes(p, 2, 3), jnp.swapaxes(t, 2, 3), max_val)
+    cnt12 = float(b * cx * (cy - 2 * hw) * (cz - 2 * hw))
+    s12 = (jnp.sum(m1 * in_x[None, :, None, None])
+           + jnp.sum(m2 * in_x[None, :, None, None])) / cnt12
+
+    # orientation 3: (Z, X) windows — halo-exchange hw voxels along X; the
+    # VALID conv over [halo, local, halo] yields one window per local plane,
+    # centred at that plane's global x; keep centres fully inside the crop
+    p3 = _halo_pad_last(jnp.transpose(p, (0, 2, 3, 1)), axis_name, hw)
+    t3 = _halo_pad_last(jnp.transpose(t, (0, 2, 3, 1)), axis_name, hw)
+    m3 = ssim_plane_map(p3, t3, max_val)  # (b, cy, cz-2hw, local_x)
+    vx = ((gx >= bx0 + hw) & (gx <= bx0 + cx - 1 - hw)).astype(jnp.float32)
+    cnt3 = float(b * cy * (cz - 2 * hw) * (cx - 2 * hw))
+    s3 = jnp.sum(m3 * vx[None, None, None, :]) / cnt3
+
+    return -(s12 + s3) / 3.0
+
+
 def make_halo_train_step(model, optimizer, mesh, axis="space", metrics="l1",
                          loss_cropping=None, residual_indices=None,
                          global_x=None):
@@ -144,12 +220,12 @@ def make_halo_train_step(model, optimizer, mesh, axis="space", metrics="l1",
     (params, batch_stats, opt_state, image, target) -> (state..., loss).
 
     image/target: (1, X, Y, Z, C) sharded along X over ``mesh[axis]``;
-    X must be divisible by n_devices·2^(nb_levels−1).  metrics: l1 | l2
-    (ssim needs cross-shard windows — unsupported here; use DP for it).
+    X must be divisible by n_devices·2^(nb_levels−1).  metrics: l1 | l2 |
+    ssim (ssim halo-exchanges 5 voxels for its cross-shard X windows).
     """
-    if metrics not in ("l1", "l2"):
-        raise ValueError("halo-sharded training supports l1/l2 metrics only")
-    from jax.experimental.shard_map import shard_map
+    if metrics not in ("l1", "l2", "ssim"):
+        raise ValueError("halo-sharded training supports l1/l2/ssim metrics")
+    from jax import shard_map
 
     n = mesh.shape[axis]
 
@@ -162,8 +238,12 @@ def make_halo_train_step(model, optimizer, mesh, axis="space", metrics="l1",
             if residual_indices is not None:
                 res = jnp.stack([image[..., i] for i in residual_indices], -1)
                 out = out + res
-            loss = _global_masked_loss(out, target, loss_cropping, axis,
-                                       metrics, local_x, local_x * n)
+            if metrics == "ssim":
+                loss = _global_ssim3d_loss(out, target, loss_cropping, axis,
+                                           local_x, local_x * n)
+            else:
+                loss = _global_masked_loss(out, target, loss_cropping, axis,
+                                           metrics, local_x, local_x * n)
             return loss, updates
 
         (loss, updates), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
@@ -177,7 +257,7 @@ def make_halo_train_step(model, optimizer, mesh, axis="space", metrics="l1",
         local_step, mesh=mesh,
         in_specs=(P(), P(), P(), P(None, axis), P(None, axis)),
         out_specs=(P(), P(), P(), P()),
-        check_rep=False)
+        check_vma=False)
 
     def step(params, batch_stats, opt_state, image, target):
         image = jax.lax.with_sharding_constraint(

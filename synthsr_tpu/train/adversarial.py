@@ -37,6 +37,7 @@ from ..models.h5_import import export_keras_unet_weights, load_keras_unet_weight
 from ..models.unet import UNet3D
 from ..ops.losses import dice_loss, l1_loss
 from ..synth.brain_generator import BrainGenerator
+from ..utils.finite_guard import FiniteGuard, guard_updates
 from ..utils.misc import get_mapping_lut, load_array_if_path, reformat_to_list
 from .metrics import assemble_prediction, center_crop, doubled_residual_indices
 from .training import keras_decay_schedule
@@ -290,7 +291,10 @@ def training(labels_dir,
 
         loss, grads = jax.value_and_grad(loss_fn)(disc_params)
         upd, new_state = disc_opt.update(grads, disc_opt_state, disc_params)
-        return optax.apply_updates(disc_params, upd), new_state, loss
+        finite = jnp.isfinite(loss)
+        return (guard_updates(finite, optax.apply_updates(disc_params, upd),
+                              disc_params),
+                guard_updates(finite, new_state, disc_opt_state), loss)
 
     @jax.jit
     def gen_step(gen_params, gen_bs, disc_params, gen_opt_state, key, batch):
@@ -324,8 +328,12 @@ def training(labels_dir,
 
         (loss, updates), grads = jax.value_and_grad(loss_fn, has_aux=True)(gen_params)
         upd, new_state = gen_opt.update(grads, gen_opt_state, gen_params)
-        return (optax.apply_updates(gen_params, upd), updates["batch_stats"],
-                new_state, loss)
+        # on-device non-finite write gate (see utils/finite_guard.py)
+        finite = jnp.isfinite(loss)
+        return (guard_updates(finite, optax.apply_updates(gen_params, upd),
+                              gen_params),
+                guard_updates(finite, updates["batch_stats"], gen_bs),
+                guard_updates(finite, new_state, gen_opt_state), loss)
 
     # ----- training loop (reference :444-479) -----
     from ..synth.model_inputs import build_model_inputs
@@ -373,10 +381,15 @@ def training(labels_dir,
                 curve.extend(np.load(path)[:init_epoch].tolist())
         log_fn(f"resuming from epoch {init_epoch}")
 
+    # per-step non-finite abort (lagged so the device pipeline never stalls;
+    # the steps gate their writes on isfinite(loss), see utils/finite_guard.py)
+    guard_d = FiniteGuard(lag=2, what="discriminator loss")
+    guard_g = FiniteGuard(lag=2, what="generator loss")
     for epoch in range(init_epoch, epochs):
         t0 = time.time()
         # losses accumulate ON DEVICE (a float() per critic iteration would
-        # force training_ratio host syncs per step); one sync per epoch
+        # force training_ratio host syncs per step); the FiniteGuard syncs
+        # only values already materialized two dispatches back
         avg_d = jnp.zeros(())
         avg_g = jnp.zeros(())
         n_d = 0
@@ -388,18 +401,19 @@ def training(labels_dir,
                 key, sub = jax.random.split(key)
                 disc_params, disc_opt_state, d_loss = disc_step(
                     gen_params, gen_bs, disc_params, disc_opt_state, sub, batch)
+                guard_d.push(f"epoch {epoch + 1} step {step_i + 1}", d_loss)
                 avg_d += d_loss
                 n_d += 1
             batch = shard_batch(mesh, tuple(np.asarray(x) for x in next(inputs_gen)))
             key, sub = jax.random.split(key)
             gen_params, gen_bs, gen_opt_state, g_loss = gen_step(
                 gen_params, gen_bs, disc_params, gen_opt_state, sub, batch)
+            guard_g.push(f"epoch {epoch + 1} step {step_i + 1}", g_loss)
             avg_g += g_loss
+        guard_d.flush()
+        guard_g.flush()
         avg_d = float(avg_d) / max(n_d, 1)
         avg_g = float(avg_g) / steps_per_epoch
-        if not (np.isfinite(avg_d) and np.isfinite(avg_g)):
-            raise FloatingPointError(
-                f"Non-finite loss at epoch {epoch + 1}: D {avg_d} G {avg_g}")
         d_curve.append(avg_d)
         g_curve.append(avg_g)
         log_fn(f"Epoch {epoch + 1:0{le}d}/{epochs}  D {avg_d:.5f}  G {avg_g:.5f}  "

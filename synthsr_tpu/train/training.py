@@ -33,6 +33,7 @@ from ..models.unet import UNet3D
 from ..ops.losses import dice_loss
 from ..parallel.mesh import make_data_mesh, replicate, shard_batch
 from ..synth.brain_generator import BrainGenerator
+from ..utils.finite_guard import FiniteGuard, guard_updates
 from ..utils.misc import get_padding_margin, reformat_to_list
 from .metrics import doubled_residual_indices, regression_loss
 
@@ -123,10 +124,12 @@ def make_train_step(model, generate_fn, optimizer, metrics="l1", loss_cropping=1
     """
 
     returns_labels = seg_loss_fn is not None
+    has_dropout = getattr(model, "conv_dropout", 0.0) > 0
 
-    def apply_net(p, bs_, image):
+    def apply_net(p, bs_, image, drop_key):
+        rngs = {"dropout": drop_key} if has_dropout else None
         return model.apply({"params": p, "batch_stats": bs_}, image,
-                           train=True, mutable=["batch_stats"])
+                           train=True, mutable=["batch_stats"], rngs=rngs)
 
     if remat == "levels":
         names = [f"unet_skip_{l}" for l in range(model.nb_levels)]
@@ -138,6 +141,11 @@ def make_train_step(model, generate_fn, optimizer, metrics="l1", loss_cropping=1
 
     def step(params, batch_stats, opt_state, key, batch):
         bs = batch[0].shape[0]
+        # split for dropout only when the net has it: the key stream (and so
+        # every seeded run) is unchanged for the shipped dropout=0 configs
+        drop_key = None
+        if has_dropout:
+            key, drop_key = jax.random.split(key)
         if gmm_sampler is not None:
             key, key_gmm = jax.random.split(key)
             means, stds = jax.vmap(gmm_sampler)(jax.random.split(key_gmm, bs))
@@ -152,7 +160,7 @@ def make_train_step(model, generate_fn, optimizer, metrics="l1", loss_cropping=1
             seg_target = None
 
         def loss_fn(p):
-            out, updates = apply_net(p, batch_stats, image)
+            out, updates = apply_net(p, batch_stats, image, drop_key)
             loss = regression_loss(out, image, target, metrics=metrics,
                                    loss_cropping=loss_cropping,
                                    work_with_residual_channel=residual_indices)
@@ -166,7 +174,14 @@ def make_train_step(model, generate_fn, optimizer, metrics="l1", loss_cropping=1
         (loss, updates), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         upd, new_opt_state = optimizer.update(grads, opt_state, params)
         new_params = optax.apply_updates(params, upd)
-        return new_params, updates["batch_stats"], new_opt_state, loss
+        # on-device non-finite write gate (reference check_numerics analogue,
+        # metrics_model.py:228): a NaN/Inf loss never reaches the parameters,
+        # so the host-side FiniteGuard abort always finds them salvageable
+        finite = jnp.isfinite(loss)
+        new_params = guard_updates(finite, new_params, params)
+        new_bs = guard_updates(finite, updates["batch_stats"], batch_stats)
+        new_opt_state = guard_updates(finite, new_opt_state, opt_state)
+        return new_params, new_bs, new_opt_state, loss
 
     return jax.jit(step, donate_argnums=(0, 1, 2))
 
@@ -270,7 +285,6 @@ def training(labels_dir,
              remat=None,
              log_fn=print):
     """Train the SR/synthesis U-Net on on-device synthetic pairs."""
-    del dropout  # reference passes conv_dropout=0 in every config
 
     # ----- channel validation (reference :245-271) -----
     input_channels_l = [bool(c) for c in reformat_to_list(input_channels)]
@@ -356,7 +370,7 @@ def training(labels_dir,
                    conv_size=conv_size, nb_labels=nb_labels,
                    feat_mult=feat_multiplier, nb_conv_per_level=nb_conv_per_level,
                    activation=activation, final_pred_activation="linear",
-                   compute_dtype=dt)
+                   conv_dropout=float(dropout), compute_dtype=dt)
     n_in = sum(1 for c in input_channels_l if c) * (2 if build_reliability_maps else 1)
     example = jnp.zeros((1, *brain_generator.model_output_shape, n_in))
     variables = dict(jax.jit(model.init)(jax.random.PRNGKey(0), example))
@@ -488,6 +502,9 @@ def training(labels_dir,
     log_path = os.path.join(model_dir, "logs")
     os.makedirs(log_path, exist_ok=True)
     loss_curve = []
+    # per-step non-finite abort, lagged 2 dispatches so the device pipeline
+    # never stalls; the step itself gates its writes on isfinite(loss)
+    guard = FiniteGuard(lag=2)
     for epoch in range(init_epoch, epochs):
         t0 = time.time()
         epoch_losses = []
@@ -497,10 +514,10 @@ def training(labels_dir,
             key, sub = jax.random.split(key)
             params, batch_stats, opt_state, loss = train_step(
                 params, batch_stats, opt_state, sub, batch)
+            guard.push(f"epoch {epoch + 1} step {step_i + 1}", loss)
             epoch_losses.append(loss)
+        guard.flush()
         mean_loss = float(np.mean([np.asarray(l) for l in epoch_losses]))
-        if not np.isfinite(mean_loss):
-            raise FloatingPointError(f"Loss not finite at epoch {epoch}: {mean_loss}")
         loss_curve.append(mean_loss)
         dt_s = time.time() - t0
         log_fn(f"epoch {epoch + 1}/{epochs}  loss {mean_loss:.5f}  "
