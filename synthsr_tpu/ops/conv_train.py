@@ -1,0 +1,155 @@
+"""Differentiable channels-first Pallas conv for the TRAINING path.
+
+Round-2 verdict: the inference-only Pallas conv family (ops/conv_pallas.py)
+left the training step's convolutions on XLA's channels-last path at the
+very <=19% MXU utilization the kernel family was built to escape (reference
+hot loop: SynthSR/training.py:449-453).  This module closes that gap with a
+``jax.custom_vjp`` around the same kernels:
+
+- **forward**: ``y = act(conv3d(x, w) + b)`` through the plane-streaming /
+  grouped / blocked kernel dispatch of models/unet_cf.py (bias + activation
+  fused in the kernel epilogue), falling back to a channels-first XLA conv
+  for shapes outside the kernels' layout constraints;
+- **input gradient**: the vjp of a SAME stride-1 3-cubed conv is ITSELF a
+  SAME conv with spatially-flipped, in/out-transposed weights — so ``dx``
+  runs back through the SAME Pallas dispatch (the flipped-weight TTA
+  machinery already proves the kernels are weight-transform-agnostic);
+- **weight gradient**: the canonical XLA kgrad convolution — a contraction
+  over the (huge) spatial volume producing the (3, 3, 3, cin, cout) tensor,
+  expressed in the giant-kernel form XLA's TPU backend pattern-matches
+  (lhs = x with channels as batch, rhs = dy as a D-by-H-by-W kernel);
+- **activation gradient**: recovered from the SAVED OUTPUT ``y`` (elu' =
+  1 if y > 0 else y + 1; relu' = [y > 0]), so no pre-activation tensor is
+  ever stored — residual memory equals the standard conv+act pair.
+
+Multi-source inputs (the decoder's [skip, upsampled] pair) are accepted as a
+tuple and never concatenated in the forward (multi-plane DMA); the backward
+splits ``dx`` by channel offset and computes per-source weight gradients, so
+the concatenated tensor never materializes in HBM in either direction.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from .conv_pallas import (_plane_layout, conv3d_cf, conv3d_cf_grouped,
+                          conv3d_cf_planes, split_group_for)
+
+
+def train_conv_ok(cin, cout, spatial):
+    """True when (cin, spatial) -> cout qualifies for a Pallas kernel path
+    worth using in training (plane-streaming or grouped; the blocked kernel's
+    halo re-reads are not competitive at training sizes)."""
+    d, h, w = spatial
+    if _plane_layout(cin, cout, d, h, w) is not None:
+        return True
+    return (w % 128 == 0 and d % 4 == 0
+            and split_group_for(cin, cout, d, h, w) is not None)
+
+
+def _apply_fused(sources, w, b, activation, interpret):
+    """act(conv(x, w) + b) channels-first via the best-qualifying kernel.
+
+    sources: tuple of (C_i, D, H, W) tensors conceptually concatenated on C.
+    w: (3, 3, 3, cin_total, cout) float32; b: (cout,) float32 or None.
+    """
+    sources = [jax.lax.optimization_barrier(s) for s in sources]
+    cin = sum(s.shape[0] for s in sources)
+    d, h, wd = sources[0].shape[1:]
+    cout = w.shape[-1]
+    dt = sources[0].dtype
+    x1 = sources[0] if len(sources) == 1 else list(sources)
+    if _plane_layout(cin, cout, d, h, wd) is not None:
+        y = conv3d_cf_planes(x1, w.astype(dt), bias=b, activation=activation,
+                             interpret=interpret)
+    elif wd % 128 == 0 and d % 4 == 0 and all(
+            _plane_layout(s.shape[0], cout, d, h, wd) is not None
+            or split_group_for(s.shape[0], cout, d, h, wd) is not None
+            for s in sources):
+        y = conv3d_cf_grouped(x1, w, bias=b, activation=activation,
+                              interpret=interpret)
+    elif len(sources) == 1 and cin <= 48 and wd >= 128 and h % 16 == 0 \
+            and d % 2 == 0:
+        y = conv3d_cf(sources[0], w.astype(dt), bias=b,
+                      activation=activation, interpret=interpret)
+    else:
+        # channels-first XLA fallback (shapes the kernels don't cover —
+        # mid-level 64-cubed training shapes; XLA lays out as it pleases)
+        x = jnp.concatenate(sources, 0) if len(sources) > 1 else sources[0]
+        y = jax.lax.conv_general_dilated(
+            x[None], w.astype(dt), (1, 1, 1), "SAME",
+            dimension_numbers=("NCDHW", "DHWIO", "NCDHW"))[0]
+        if b is not None:
+            y = y + b.astype(y.dtype).reshape(-1, 1, 1, 1)
+        if activation == "elu":
+            y = jax.nn.elu(y)
+        elif activation == "relu":
+            y = jax.nn.relu(y)
+    return jax.lax.optimization_barrier(y)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def conv3d_cf_train(sources, w, b, activation=None, interpret=False):
+    """Differentiable fused act(conv3d(x, w) + b), channels-first, batch-free.
+
+    ``sources``: tuple of (C_i, D, H, W) inputs concatenated conceptually on
+    the channel axis (pass a 1-tuple for plain convs).  Gradients flow to
+    every source, ``w`` (3, 3, 3, cin, cout) and ``b`` (cout,).
+    ``activation``: None | 'elu' | 'relu' — fused in the kernel epilogue and
+    differentiated from the saved OUTPUT, so no preactivation is stored.
+    """
+    return _apply_fused(sources, w, b, activation, interpret)
+
+
+def _conv_train_fwd(sources, w, b, activation, interpret):
+    y = _apply_fused(sources, w, b, activation, interpret)
+    return y, (tuple(sources), w, y)
+
+
+def _act_grad_from_output(activation, y, dy):
+    """dL/d(preactivation) from the saved post-activation output."""
+    if activation == "elu":
+        # elu(p) = p if p > 0 else exp(p) - 1  =>  elu' = 1 / (elu + 1);
+        # y > 0 <=> p > 0 (elu is monotone through 0)
+        g = jnp.where(y > 0, jnp.ones((), y.dtype), y + jnp.ones((), y.dtype))
+        return dy * g.astype(dy.dtype)
+    if activation == "relu":
+        return jnp.where(y > 0, dy, jnp.zeros((), dy.dtype))
+    return dy
+
+
+def _weight_grad(x, dpre):
+    """(3, 3, 3, ci, co) weight gradient of a SAME stride-1 conv: the
+    canonical kgrad convolution — channels become batch/feature, the volume
+    becomes the kernel, contraction runs over all spatial positions."""
+    out = jax.lax.conv_general_dilated(
+        x[:, None],                      # (ci, 1, D, H, W)
+        dpre[:, None].astype(x.dtype),   # (co, 1, D, H, W) as OIDHW
+        (1, 1, 1), [(1, 1)] * 3,
+        dimension_numbers=("NCDHW", "OIDHW", "NCDHW"),
+        preferred_element_type=jnp.float32)  # (ci, co, 3, 3, 3)
+    return jnp.transpose(out, (2, 3, 4, 0, 1))
+
+
+def _conv_train_bwd(activation, interpret, res, dy):
+    sources, w, y = res
+    dpre = _act_grad_from_output(activation, y, dy)
+    db = jnp.sum(dpre.astype(jnp.float32), axis=(1, 2, 3)).astype(w.dtype)
+    # dx: SAME conv of dpre with spatially-flipped, in/out-transposed weights
+    wt = jnp.transpose(jnp.flip(w, (0, 1, 2)), (0, 1, 2, 4, 3))
+    dx = _apply_fused((dpre,), wt, None, None, interpret)
+    dxs, off = [], 0
+    for s in sources:
+        dxs.append(dx[off:off + s.shape[0]].astype(s.dtype))
+        off += s.shape[0]
+    # per-source weight gradients: slices along ci are independent, so the
+    # concatenated input never materializes for the kgrad either
+    dws = [_weight_grad(s, dpre) for s in sources]
+    dw = jnp.concatenate(dws, axis=3) if len(dws) > 1 else dws[0]
+    return tuple(dxs), dw.astype(w.dtype), db
+
+
+conv3d_cf_train.defvjp(_conv_train_fwd, _conv_train_bwd)
