@@ -106,7 +106,7 @@ def build_seg_loss_fn(seg_model, seg_variables, generation_labels,
 def make_train_step(model, generate_fn, optimizer, metrics="l1", loss_cropping=16,
                     residual_indices=None, use_real_image=False, seg_loss_fn=None,
                     seg_rel_weight=0.25, return_labels_to_loss=False,
-                    remat=False, gmm_sampler=None):
+                    remat=False, gmm_sampler=None, fast_forward="auto"):
     """Build the jitted train step: (state, key, batch) -> (state, loss).
 
     state = (params, batch_stats, opt_state). batch = (labels, means, stds
@@ -121,15 +121,37 @@ def make_train_step(model, generate_fn, optimizer, metrics="l1", loss_cropping=1
     "levels" = per-level checkpointing (save only the skip / decoder-level
     boundary tensors tagged in models/unet.py and recompute one level's
     convs at a time) — the mode that fits batch ≥ 2 at 128³ on a 16G chip.
+
+    ``fast_forward``: "auto" | "on" | "off" | "interpret" — run the U-Net
+    through the differentiable channels-first Pallas conv family
+    (models/unet_cf_train.py: Pallas forward AND input-gradient convs,
+    custom_vjp) wherever the model's options qualify.  "auto" enables it on
+    TPU bf16 runs; "interpret" forces the kernels in interpret mode (CPU
+    tests).  Falls back to ``model.apply`` whenever ``can_fast_train`` says
+    the options are out of scope (dropout, residuals, dilation, ...).
     """
 
     returns_labels = seg_loss_fn is not None
     has_dropout = getattr(model, "conv_dropout", 0.0) > 0
 
-    def apply_net(p, bs_, image, drop_key):
-        rngs = {"dropout": drop_key} if has_dropout else None
-        return model.apply({"params": p, "batch_stats": bs_}, image,
-                           train=True, mutable=["batch_stats"], rngs=rngs)
+    from ..models.unet_cf_train import can_fast_train, make_fast_train_apply
+
+    use_fast = fast_forward in ("on", "interpret") or (
+        fast_forward == "auto" and jax.default_backend() == "tpu"
+        and model.compute_dtype == jnp.bfloat16)
+    use_fast = use_fast and can_fast_train(model)
+
+    if use_fast:
+        fast_apply = make_fast_train_apply(
+            model, interpret=fast_forward == "interpret")
+
+        def apply_net(p, bs_, image, drop_key):
+            return fast_apply({"params": p, "batch_stats": bs_}, image)
+    else:
+        def apply_net(p, bs_, image, drop_key):
+            rngs = {"dropout": drop_key} if has_dropout else None
+            return model.apply({"params": p, "batch_stats": bs_}, image,
+                               train=True, mutable=["batch_stats"], rngs=rngs)
 
     if remat == "levels":
         names = [f"unet_skip_{l}" for l in range(model.nb_levels)]
@@ -283,6 +305,7 @@ def training(labels_dir,
              seed=None,
              compute_dtype="bfloat16",
              remat=None,
+             fast_forward="auto",
              log_fn=print):
     """Train the SR/synthesis U-Net on on-device synthetic pairs."""
 
@@ -443,6 +466,9 @@ def training(labels_dir,
         n_channels=brain_generator.n_channels,
         generation_classes=brain_generator.generation_classes)
 
+    # the channels-first Pallas training forward runs per-example kernels —
+    # single-device only (the DP mesh shards the batch axis; the fast path
+    # would cross shard boundaries), so gate it on n_devices == 1
     train_step = make_train_step(model, generate_fn, optimizer,
                                  metrics=regression_metric,
                                  loss_cropping=loss_cropping,
@@ -450,7 +476,9 @@ def training(labels_dir,
                                  use_real_image=use_real,
                                  seg_loss_fn=seg_loss_fn,
                                  seg_rel_weight=relative_weight_segmentation,
-                                 remat=remat, gmm_sampler=gmm_sampler)
+                                 remat=remat, gmm_sampler=gmm_sampler,
+                                 fast_forward=(fast_forward if n_devices == 1
+                                               else "off"))
 
     # resume (reference :434-439: epoch parsed from checkpoint filename)
     init_epoch = 0

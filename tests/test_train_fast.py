@@ -1,0 +1,136 @@
+"""The differentiable channels-first Pallas training path (ops/conv_train,
+models/unet_cf_train) against the flax reference forward.
+
+The fast train apply must be a drop-in for
+``model.apply(..., train=True, mutable=["batch_stats"])``: same outputs,
+same new batch_stats, same parameter gradients — here pinned in f32
+interpret mode at a kernel-qualifying shape (W % 128 == 0, D % 4 == 0) that
+exercises the channels-first kernels at the top level AND the layout
+fallback at the pooled levels (W=64 no longer qualifies)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from synthsr_tpu.models.unet import UNet3D
+from synthsr_tpu.models.unet_cf_train import (can_fast_train,
+                                              make_fast_train_apply)
+
+SHAPE = (2, 8, 16, 128, 1)  # batch 2: BN batch-joint stats must match too
+
+
+def _model_and_vars():
+    model = UNet3D(nb_features=4, nb_levels=2, nb_conv_per_level=2,
+                   nb_labels=1, activation="elu",
+                   final_pred_activation="linear",
+                   compute_dtype=jnp.float32)
+    variables = dict(model.init(jax.random.PRNGKey(0),
+                                jnp.zeros(SHAPE, jnp.float32)))
+    return model, variables
+
+
+def _tree_allclose(a, b, atol):
+    la, lb = jax.tree.leaves(a), jax.tree.leaves(b)
+    assert len(la) == len(lb)
+    for x, y in zip(la, lb):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=atol,
+                                   rtol=1e-5)
+
+
+def test_can_fast_train_gates_options():
+    def mk(**kw):
+        return UNet3D(nb_features=4, nb_levels=2, nb_conv_per_level=2,
+                      nb_labels=1, activation="elu",
+                      final_pred_activation="linear",
+                      compute_dtype=jnp.float32, **kw)
+
+    assert can_fast_train(mk())
+    assert not can_fast_train(mk(conv_dropout=0.5))
+    assert not can_fast_train(mk(use_residuals=True))
+    assert not can_fast_train(mk(dilation_rate_mult=2))
+
+
+def test_fast_train_apply_matches_model_apply():
+    model, variables = _model_and_vars()
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=SHAPE).astype(np.float32))
+
+    fast = make_fast_train_apply(model, interpret=True)
+    out_f, upd_f = fast(variables, x)
+    out_r, upd_r = model.apply(variables, x, train=True,
+                               mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_r),
+                               atol=1e-5, rtol=1e-5)
+    _tree_allclose(upd_f["batch_stats"], upd_r["batch_stats"], atol=1e-5)
+
+
+def test_fast_train_grads_match_model_apply():
+    model, variables = _model_and_vars()
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=SHAPE).astype(np.float32))
+    target = jnp.asarray(rng.normal(size=SHAPE).astype(np.float32))
+
+    fast = make_fast_train_apply(model, interpret=True)
+
+    def loss_fast(p):
+        out, _ = fast({"params": p,
+                       "batch_stats": variables["batch_stats"]}, x)
+        return jnp.mean(jnp.abs(out - target))
+
+    def loss_ref(p):
+        out, _ = model.apply({"params": p,
+                              "batch_stats": variables["batch_stats"]}, x,
+                             train=True, mutable=["batch_stats"])
+        return jnp.mean(jnp.abs(out - target))
+
+    lf, gf = jax.value_and_grad(loss_fast)(variables["params"])
+    lr, gr = jax.value_and_grad(loss_ref)(variables["params"])
+    np.testing.assert_allclose(float(lf), float(lr), rtol=1e-6)
+    _tree_allclose(gf, gr, atol=1e-5)
+
+
+def test_make_train_step_fast_forward_wiring():
+    """fast_forward='interpret' in make_train_step must reproduce the 'off'
+    step bit-for-bit-ish (same loss, same params) — here at a non-qualifying
+    16-cubed shape, so it also proves the all-fallback layout path."""
+    from synthsr_tpu.synth.labels_to_image import (GenerationConfig,
+                                                   build_generator)
+    from synthsr_tpu.train.metrics import doubled_residual_indices
+    from synthsr_tpu.train.training import make_optimizer, make_train_step
+
+    cfg = GenerationConfig(
+        labels_shape=[16, 16, 16], input_channels=[True], output_channel=[0],
+        generation_labels=np.array([0, 2, 4], np.int32), n_neutral_labels=3,
+        atlas_res=[1.0, 1.0, 1.0], output_shape=16, output_div_by_n=4,
+        flipping=True, aff=np.eye(4), randomise_res=False,
+        data_res=np.array([[1.0, 1.0, 2.0]]), downsample=True,
+        build_reliability_maps=True, simulate_registration_error=False)
+    generate_fn = build_generator(cfg)
+    model = UNet3D(nb_features=2, nb_levels=2, nb_conv_per_level=1,
+                   nb_labels=1, compute_dtype=jnp.float32)
+    variables = dict(jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 16, 2))))
+    optimizer = make_optimizer(1e-3)
+
+    rng = np.random.default_rng(0)
+    batch = (rng.integers(0, 2, (2, 16, 16, 16, 1)).astype(np.int32) * 2,
+             rng.uniform(20, 200, (2, 3, 1)).astype(np.float32),
+             rng.uniform(1, 10, (2, 3, 1)).astype(np.float32))
+    key = jax.random.PRNGKey(7)
+    results = {}
+    for mode in ("off", "interpret"):
+        step = make_train_step(model, generate_fn, optimizer, metrics="l1",
+                               loss_cropping=12,
+                               residual_indices=doubled_residual_indices(
+                                   [0], True),
+                               fast_forward=mode)
+        p = jax.tree.map(jnp.copy, variables["params"])
+        b = jax.tree.map(jnp.copy, variables["batch_stats"])
+        opt_state = optimizer.init(p)
+        p, b, opt_state, loss = step(p, b, opt_state, key, batch)
+        results[mode] = (jax.device_get(p), float(loss))
+    np.testing.assert_allclose(results["off"][1], results["interpret"][1],
+                               rtol=1e-6)
+    _tree_allclose(results["interpret"][0], results["off"][0], atol=1e-6)
