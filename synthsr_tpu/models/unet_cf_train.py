@@ -58,8 +58,17 @@ def _up_cf(x):
 
 
 def _pool_cf(x):
-    return jax.lax.reduce_window(x, -jnp.inf, jax.lax.max, (1, 2, 2, 2),
-                                 (1, 2, 2, 2), "SAME")
+    """2x max pool, channels-first.  Reshape-max instead of reduce_window:
+    the (C, D, H, W) layout leaves only ONE inactive dim, and TPU does not
+    implement SelectAndScatter (reduce_window's gradient) below 2 inactive
+    dims — the reshape form differentiates as plain eltwise max/select.
+    Odd dims fall back (train shapes are powers of two throughout)."""
+    c, d, h, w = x.shape
+    if d % 2 or h % 2 or w % 2:
+        return jax.lax.reduce_window(x, -jnp.inf, jax.lax.max, (1, 2, 2, 2),
+                                     (1, 2, 2, 2), "SAME")
+    r = x.reshape(c, d // 2, 2, h // 2, 2, w // 2, 2)
+    return r.max(axis=(2, 4, 6))
 
 
 def make_fast_train_apply(model: UNet3D, interpret: bool = False):
