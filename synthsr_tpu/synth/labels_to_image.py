@@ -131,6 +131,11 @@ class GenerationConfig:
     blur_range: float = 1.15
     bias_field_std: float = 0.3
     bias_shape_factor: float = 0.025
+    # registration-error warps: gather-free shear factorization by default
+    # (ops/shear_warp.py — TPU has no hardware gather and the three 8-corner
+    # trilinear warps dominated the synth-train step at ~410 of ~950 ms);
+    # exact_warp=True restores reference-exact joint trilinear interpolation
+    exact_warp: bool = False
 
     # --- resolved (filled by resolve()) ---
     n_channels: int = dataclasses.field(default=0, init=False)
@@ -148,6 +153,8 @@ class GenerationConfig:
     simulate_reg_rc: List[bool] = dataclasses.field(default_factory=list, init=False)
     flip_axis: int = dataclasses.field(default=0, init=False)
     swap_lut: Any = dataclasses.field(default=None, init=False)
+    reg_disp_fwd: int = dataclasses.field(default=0, init=False)
+    reg_disp_inv: int = dataclasses.field(default=0, init=False)
 
     def resolve(self) -> "GenerationConfig":
         """Derive all static quantities (reference :70-103)."""
@@ -193,6 +200,17 @@ class GenerationConfig:
                                     list(self.atlas_res3), list(self.target_res3),
                                     self.padding_margin, self.output_div_by_n)
         self.crop_shape, self.out_shape, self.pad_margin = crop, out, pad
+
+        if not self.exact_warp and any(self.simulate_reg_rc):
+            # static shift bounds for the gather-free registration-error
+            # warps (reference draws: fwd 5 deg / 5 vox, err 0.5 / 0.5;
+            # the inverse-with-error composition stays within 6 / 6)
+            from ..ops.shear_warp import static_max_disp
+
+            self.reg_disp_fwd = static_max_disp(
+                self.crop_shape, rotation_bounds=5, translation_bounds=5)
+            self.reg_disp_inv = static_max_disp(
+                self.out_shape, rotation_bounds=6, translation_bounds=6)
 
         if self.flipping:
             assert self.aff is not None, "aff must be provided when flipping is on"
@@ -311,8 +329,14 @@ def build_generator(cfg: GenerationConfig, return_labels: bool = False):
                 kt_fwd, kt_err = jax.random.split(kt)
                 t_fwd = augment.sample_affine_matrix(kt_fwd, rotation_bounds=5,
                                                      translation_bounds=5)
-                shift = _interp.affine_to_shift(t_fwd, channel.shape[:3])
-                channel = _interp.transform(channel, shift, method="linear")
+                if cfg.exact_warp:
+                    shift = _interp.affine_to_shift(t_fwd, channel.shape[:3])
+                    channel = _interp.transform(channel, shift, method="linear")
+                else:
+                    from ..ops.shear_warp import shear_warp_affine
+
+                    channel = shear_warp_affine(channel, t_fwd,
+                                                cfg.reg_disp_fwd)
 
             # acquisition simulation (reference :214-228)
             if cfg.randomise_rc[i]:
@@ -348,9 +372,19 @@ def build_generator(cfg: GenerationConfig, return_labels: bool = False):
                 t_err = augment.sample_affine_matrix(kt_err, rotation_bounds=0.5,
                                                      translation_bounds=0.5)
                 t_inv_err = t_err @ jnp.linalg.inv(t_fwd)
-                shift = _interp.affine_to_shift(t_inv_err, channel.shape[:3])
-                channel = _interp.transform(channel, shift, method="linear")
-                rel_map = _interp.transform(rel_map, shift, method="linear")
+                if cfg.exact_warp:
+                    shift = _interp.affine_to_shift(t_inv_err, channel.shape[:3])
+                    channel = _interp.transform(channel, shift, method="linear")
+                    rel_map = _interp.transform(rel_map, shift, method="linear")
+                else:
+                    from ..ops.shear_warp import shear_warp_affine
+
+                    # channel + reliability map share the transform: one
+                    # 2-channel pass set instead of two warps
+                    both = shear_warp_affine(
+                        jnp.concatenate([channel, rel_map], axis=-1),
+                        t_inv_err, cfg.reg_disp_inv)
+                    channel, rel_map = both[..., :1], both[..., 1:]
 
             channels.append(channel)
             if cfg.build_reliability_maps:
