@@ -122,16 +122,26 @@ def _act_grad_from_output(activation, y, dy):
 
 
 def _weight_grad(x, dpre):
-    """(3, 3, 3, ci, co) weight gradient of a SAME stride-1 conv: the
-    canonical kgrad convolution — channels become batch/feature, the volume
-    becomes the kernel, contraction runs over all spatial positions."""
-    out = jax.lax.conv_general_dilated(
-        x[:, None],                      # (ci, 1, D, H, W)
-        dpre[:, None].astype(x.dtype),   # (co, 1, D, H, W) as OIDHW
-        (1, 1, 1), [(1, 1)] * 3,
-        dimension_numbers=("NCDHW", "OIDHW", "NCDHW"),
-        preferred_element_type=jnp.float32)  # (ci, co, 3, 3, 3)
-    return jnp.transpose(out, (2, 3, 4, 0, 1))
+    """(3, 3, 3, ci, co) weight gradient of a SAME stride-1 conv as ONE
+    wide MXU contraction: stack the 27 shifted-input views on the M axis
+    (27*ci rows) against the flattened cotangent (S columns -> co).  The
+    giant-kernel conv formulation (x as batch, dy as a D*H*W kernel) was
+    measured far slower — XLA lowers it through low-utilization paths."""
+    ci, d, h, w = x.shape
+    co = dpre.shape[0]
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (1, 1)))
+    rhs = dpre.reshape(co, d * h * w).astype(x.dtype)
+    taps = []
+    for dz in range(3):
+        for dy in range(3):
+            for dx in range(3):
+                lhs = jax.lax.slice(
+                    xp, (0, dz, dy, dx),
+                    (ci, dz + d, dy + h, dx + w)).reshape(ci, d * h * w)
+                taps.append(jax.lax.dot_general(
+                    lhs, rhs, dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32))   # (ci, co)
+    return jnp.stack(taps, 0).reshape(3, 3, 3, ci, co)
 
 
 def _conv_train_bwd(activation, interpret, res, dy):
