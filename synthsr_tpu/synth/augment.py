@@ -214,11 +214,26 @@ def sample_conditional_gmm(key, labels, means, stds, generation_labels):
     if labels.ndim == 4:
         labels = labels[..., 0]
     gen = np.asarray(generation_labels, np.int64)
-    lut = np.zeros(int(gen.max()) + 1, np.int32)
-    lut[gen] = np.arange(len(gen), dtype=np.int32)
-    idx_map = jnp.asarray(lut)[labels]  # (X,Y,Z) indices into [0, n_labels)
-    means_map = jnp.take(means.astype(jnp.float32), idx_map, axis=0)
-    stds_map = jnp.take(stds.astype(jnp.float32), idx_map, axis=0)
+    # per-label select-sum instead of LUT + per-voxel gathers: TPU gathers
+    # lower to per-element dynamic-slices (the three gathers here measured
+    # ~34 ms per 128-cubed draw); n_labels fused compare-selects are ~1 ms
+    # and XLA keeps them elementwise.  Labels outside generation_labels
+    # fall back to row 0, matching the reference zeros-initialized LUT.
+    means = means.astype(jnp.float32)
+    stds = stds.astype(jnp.float32)
+    lab4 = labels[..., None]
+    means_map = jnp.zeros((*labels.shape, means.shape[1]), jnp.float32)
+    stds_map = jnp.zeros_like(means_map)
+    hit = jnp.zeros((*labels.shape, 1), jnp.float32)
+    # duplicate label values: the reference LUT keeps the LAST occurrence
+    last = {int(lv): li for li, lv in enumerate(gen.tolist())}
+    for lv, li in last.items():
+        mask = (lab4 == lv).astype(jnp.float32)
+        means_map = means_map + mask * means[li]
+        stds_map = stds_map + mask * stds[li]
+        hit = hit + mask
+    means_map = means_map + (1.0 - hit) * means[0]
+    stds_map = stds_map + (1.0 - hit) * stds[0]
     noise = jax.random.normal(key, means_map.shape)
     return stds_map * noise + means_map  # (X,Y,Z,n_channels)
 
