@@ -148,6 +148,95 @@ def random_spatial_deformation(key, vols, methods, scaling_bounds=0.15,
     return outs
 
 
+def random_spatial_deformation_cropped(key, key_crop, vols, methods,
+                                       crop_shape, scaling_bounds=0.15,
+                                       rotation_bounds=15,
+                                       shearing_bounds=0.012,
+                                       translation_bounds=False,
+                                       enable_90_rotations=False,
+                                       nonlin_std=3.0, nonlin_scale=0.0625,
+                                       prob_deform=1.0, clip_svf_sigmas=4.0):
+    """``random_spatial_deformation`` followed by ``random_crop``, FUSED:
+    the crop of a warp is the warp restricted to the window, so the shift
+    field (windowed SVF resize + affine at absolute window coordinates) and
+    the output gather are computed on the crop window only — identical
+    values (same keys, same draws, same sample positions) at a fraction of
+    the full-shape gather/resize cost.  Reference behaviour composition:
+    lab2im/layers.py:54-211 then :214-274."""
+    spatial = vols[0].shape[:3]
+    k_aff, k_std, k_svf, k_prob = jax.random.split(key, 4)
+    # crop offset drawn exactly as random_crop does
+    max_val = jnp.array([spatial[d] - crop_shape[d] for d in range(3)],
+                        jnp.float32)
+    idx = jnp.floor(jax.random.uniform(key_crop, (3,)) * max_val) \
+        .astype(jnp.int32)
+
+    def plain_crop(v):
+        return jax.lax.dynamic_slice(v, (idx[0], idx[1], idx[2], 0),
+                                     (*crop_shape, v.shape[-1]))
+
+    apply_affine = (scaling_bounds is not False) \
+        or (rotation_bounds is not False) or (shearing_bounds is not False) \
+        or (translation_bounds is not False) or enable_90_rotations
+    apply_elastic = nonlin_std > 0
+    if not (apply_affine or apply_elastic):
+        return [plain_crop(v) for v in vols]
+
+    # absolute window coordinates (traced offset + static iota)
+    mesh_w = [idx[d].astype(jnp.float32)
+              + jax.lax.broadcasted_iota(jnp.float32, tuple(crop_shape), d)
+              for d in range(3)]
+
+    svf_w = None
+    if apply_elastic:
+        from .sampling import draw_traced  # noqa: F401  (parity of imports)
+        from ..ops.linops import apply_axis_ops, sample_matrix
+
+        small = small_shape_for(spatial, nonlin_scale)
+        std = jax.random.uniform(k_std, (1, 1), maxval=nonlin_std)
+        svf = jax.random.normal(k_svf, (*small, 3)) * std[0, 0]
+        bound = None
+        if clip_svf_sigmas is not None:
+            bound = float(clip_svf_sigmas) * float(nonlin_std)
+            svf = jnp.clip(svf, -bound, bound)
+        half = tuple(max(int(spatial[i] / 2), small[i]) for i in range(3))
+        svf = interp.resize(svf, half, method="linear")
+        svf = interp.integrate_vec(svf, nb_steps=7, max_displacement=bound)
+        # windowed final resize: the full-shape resize samples input at
+        # g / zoom for output index g; restrict g to the crop window
+        mats = []
+        for d in range(3):
+            zoom = spatial[d] / half[d]
+            coords = (idx[d].astype(jnp.float32)
+                      + jnp.arange(crop_shape[d], dtype=jnp.float32)) / zoom
+            mats.append(sample_matrix(coords, half[d], method="linear"))
+        svf_w = apply_axis_ops(svf, mats)
+
+    if apply_affine:
+        affine = sample_affine_matrix(k_aff, rotation_bounds, scaling_bounds,
+                                      shearing_bounds, translation_bounds,
+                                      enable_90_rotations)[:3].astype(jnp.float32)
+        centre = [(spatial[d] - 1) / 2.0 for d in range(3)]
+        moved = [mesh_w[d] - centre[d] for d in range(3)]
+        if svf_w is not None:
+            moved = [moved[d] + svf_w[..., d] for d in range(3)]
+        flat = jnp.stack([m.reshape(-1) for m in moved]
+                         + [jnp.ones(moved[0].size)], axis=0)
+        loc = (affine @ flat).T.reshape(*crop_shape, 3) \
+            + jnp.asarray(centre, jnp.float32)
+    else:
+        loc = jnp.stack(mesh_w, -1) + svf_w
+
+    outs = []
+    for v, m in zip(vols, methods):
+        warped = interp.interpn(v.astype(jnp.float32), loc, method=m)
+        if prob_deform < 1.0:
+            gate = bernoulli(k_prob, prob_deform)
+            warped = jnp.where(gate, warped, plain_crop(v.astype(jnp.float32)))
+        outs.append(warped.astype(v.dtype))
+    return outs
+
+
 # ---------------------------------------------------------------------------
 # RandomCrop (reference lab2im/layers.py:214-274)
 # ---------------------------------------------------------------------------

@@ -262,18 +262,28 @@ def build_generator(cfg: GenerationConfig, return_labels: bool = False):
         if cfg.pad_margin is not None:
             vols = [pad_around_centre(v, cfg.pad_margin) for v in vols]
 
-        # deform (reference :125-142)
-        vols = augment.random_spatial_deformation(
-            keys[next(ki)], vols, methods,
-            scaling_bounds=cfg.scaling_bounds, rotation_bounds=cfg.rotation_bounds,
-            shearing_bounds=cfg.shearing_bounds,
-            translation_bounds=cfg.translation_bounds,
-            nonlin_std=cfg.nonlin_std, nonlin_scale=cfg.nonlin_shape_factor)
-
-        # crop (reference :145-151)
+        # deform (reference :125-142) + crop (reference :145-151) — fused
+        # when a crop follows: the shift field and gather run on the crop
+        # window only (augment.random_spatial_deformation_cropped), with
+        # identical keys/draws/values to the deform-then-crop composition
         if list(cfg.crop_shape) != list(vols[0].shape[:3]):
-            vols = augment.random_crop(keys[next(ki)], vols, cfg.crop_shape)
+            k_deform, k_crop = keys[next(ki)], keys[next(ki)]
+            vols = augment.random_spatial_deformation_cropped(
+                k_deform, k_crop, vols, methods, cfg.crop_shape,
+                scaling_bounds=cfg.scaling_bounds,
+                rotation_bounds=cfg.rotation_bounds,
+                shearing_bounds=cfg.shearing_bounds,
+                translation_bounds=cfg.translation_bounds,
+                nonlin_std=cfg.nonlin_std,
+                nonlin_scale=cfg.nonlin_shape_factor)
         else:
+            vols = augment.random_spatial_deformation(
+                keys[next(ki)], vols, methods,
+                scaling_bounds=cfg.scaling_bounds,
+                rotation_bounds=cfg.rotation_bounds,
+                shearing_bounds=cfg.shearing_bounds,
+                translation_bounds=cfg.translation_bounds,
+                nonlin_std=cfg.nonlin_std, nonlin_scale=cfg.nonlin_shape_factor)
             next(ki)
 
         # flip (reference :154-162)

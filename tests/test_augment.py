@@ -306,3 +306,32 @@ def test_mimic_acquisition_noise_std(rng):
         jnp.asarray(x), res, [1.0, 1.0, 1.0], (16, 16, 16),
         noise_std=0.1, prob_noise=0.0, key=jax.random.PRNGKey(0)))
     np.testing.assert_allclose(off, clean, atol=1e-5)
+
+
+def test_deform_crop_fusion_exact():
+    """random_spatial_deformation_cropped == deform-then-crop: same keys,
+    same draws, same sample coordinates — values equal to float tolerance."""
+    import jax
+    import jax.numpy as jnp
+
+    from synthsr_tpu.synth import augment
+
+    rng = np.random.default_rng(3)
+    labels = jnp.asarray(rng.integers(0, 5, (40, 36, 44, 1)).astype(np.int32))
+    image = jnp.asarray(rng.normal(size=(40, 36, 44, 1)).astype(np.float32))
+    kd, kc = jax.random.PRNGKey(11), jax.random.PRNGKey(12)
+    kw = dict(scaling_bounds=0.1, rotation_bounds=8, shearing_bounds=0.01,
+              translation_bounds=False, nonlin_std=2.0, nonlin_scale=0.0625)
+    crop = [24, 24, 24]
+
+    ref = augment.random_spatial_deformation(kd, [labels, image],
+                                             ["nearest", "linear"], **kw)
+    ref = augment.random_crop(kc, ref, crop)
+    fused = augment.random_spatial_deformation_cropped(
+        kd, kc, [labels, image], ["nearest", "linear"], crop, **kw)
+    # nearest on labels: allow a few boundary voxels where the (identical)
+    # sampled coordinate sits within float rounding of a .5 tie
+    lab_diff = np.mean(np.asarray(ref[0]) != np.asarray(fused[0]))
+    assert lab_diff < 2e-3, lab_diff
+    np.testing.assert_allclose(np.asarray(fused[1]), np.asarray(ref[1]),
+                               atol=1e-4)
