@@ -87,7 +87,7 @@ def main():
         model, generate_fn, optimizer, metrics="l1", loss_cropping=96,
         residual_indices=doubled_residual_indices(
             [1], True, input_channels=[False, True, True]),
-        remat=False, gmm_sampler=gmm_sampler)
+        remat=False, gmm_sampler=gmm_sampler, advance_key=True)
 
     gen = build_model_inputs(path_label_maps=bg.labels_paths,
                              n_labels=len(generation_labels),
@@ -104,7 +104,7 @@ def main():
     # warm-up (first Pallas compile can take minutes on this platform)
     p, b, o = (jax.tree.map(jnp.copy, t)
                for t in (params, batch_stats, opt_state))
-    p, b, o, loss = step(p, b, o, key, batches[0])
+    p, b, o, key, loss = step(p, b, o, key, batches[0])
     _ = float(loss)
 
     # steady state: the true training recurrence (state threads step to
@@ -115,8 +115,7 @@ def main():
     pending = []
     t0 = time.time()
     for i in range(n):
-        key, sub = jax.random.split(key)
-        p, b, o, loss = step(p, b, o, sub, batches[i % len(batches)])
+        p, b, o, key, loss = step(p, b, o, key, batches[i % len(batches)])
         pending.append(loss)
         if len(pending) > lag:
             _ = float(pending.pop(0))

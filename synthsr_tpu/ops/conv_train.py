@@ -40,14 +40,68 @@ from .conv_pallas import (_plane_layout, conv3d_cf, conv3d_cf_grouped,
 
 
 def train_conv_ok(cin, cout, spatial):
-    """True when (cin, spatial) -> cout qualifies for a Pallas kernel path
-    worth using in training (plane-streaming or grouped; the blocked kernel's
-    halo re-reads are not competitive at training sizes)."""
+    """True when (cin, spatial) -> cout qualifies for a fast channels-first
+    path worth using in training: a Pallas kernel (plane-streaming or
+    grouped; the blocked kernel's halo re-reads are not competitive at
+    training sizes) or the im2col-dot form (mid-level shapes)."""
     d, h, w = spatial
     if _plane_layout(cin, cout, d, h, w) is not None:
         return True
-    return (w % 128 == 0 and d % 4 == 0
-            and split_group_for(cin, cout, d, h, w) is not None)
+    if (w % 128 == 0 and d % 4 == 0
+            and split_group_for(cin, cout, d, h, w) is not None):
+        return True
+    return _dot_conv_ok(cin, cout, spatial)
+
+
+def _dot_conv_ok(cin, cout, spatial):
+    """im2col-dot qualification: worth it where XLA's native conv leaves the
+    MXU idle (small channel counts on the lane axis) and the 9x patch matrix
+    stays affordable — the 64-cubed and 32-cubed levels of 128-cubed
+    training (the 128-cubed levels take the Pallas kernels instead, and at
+    16-cubed and below channels reach >=96 so XLA's layout is fine)."""
+    d, h, w = spatial
+    s = d * h * w
+    return 32 ** 3 <= s <= 64 ** 3 and max(cin, cout) <= 160 \
+        and 9 * cin * s * 2 <= 2 ** 31
+
+
+def _conv_dot(x, w, b, activation):
+    """act(conv3d(x, w) + b) channels-first as ONE wide MXU dot: spatial on
+    the lane axis instead of channels.
+
+    im2col over the in-plane taps only — P (9·ci, S) holds the 9
+    (dy, dx)-shifted views of the zero-padded input; the z-stacked weights
+    (3·co, 9·ci) hit it in a single dot, and the three (co, S) z-parts
+    combine with a padded shift-add over D (part dz evaluated at input plane
+    z belongs to output plane z − dz + 1).  Same scheme as the Pallas
+    plane-streaming kernel (conv_pallas.py) but at XLA level: ~9x input HBM
+    traffic for the materialized P, affordable at <=64-cubed volumes where
+    XLA's native channels-last conv runs at <=5 TFLOP/s for these channel
+    counts (measured; the dot form is traffic-bound at ~80+ TFLOP/s MXU
+    utilization)."""
+    ci, d, h, wd = x.shape
+    co = w.shape[-1]
+    s = d * h * wd
+    xp = jnp.pad(x, ((0, 0), (0, 0), (1, 1), (1, 1)))
+    p = jnp.concatenate([
+        jax.lax.slice(xp, (0, 0, dy, dx), (ci, d, dy + h, dx + wd))
+        for dy in range(3) for dx in range(3)], axis=0).reshape(9 * ci, s)
+    wz = jnp.transpose(w, (0, 4, 1, 2, 3)).reshape(3 * co, 9 * ci)
+    parts = jax.lax.dot_general(
+        wz.astype(x.dtype), p,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).reshape(3, co, d, h, wd)
+    # part dz computed at input plane q contributes to output plane q - dz + 1
+    pre = parts[1]
+    pre = pre + jnp.pad(parts[0, :, :-1], ((0, 0), (1, 0), (0, 0), (0, 0)))
+    pre = pre + jnp.pad(parts[2, :, 1:], ((0, 0), (0, 1), (0, 0), (0, 0)))
+    if b is not None:
+        pre = pre + b.astype(pre.dtype).reshape(-1, 1, 1, 1)
+    if activation == "elu":
+        pre = jax.nn.elu(pre)
+    elif activation == "relu":
+        pre = jax.nn.relu(pre)
+    return pre.astype(x.dtype)
 
 
 def _apply_fused(sources, w, b, activation, interpret):
@@ -75,6 +129,9 @@ def _apply_fused(sources, w, b, activation, interpret):
             and d % 2 == 0:
         y = conv3d_cf(sources[0], w.astype(dt), bias=b,
                       activation=activation, interpret=interpret)
+    elif _dot_conv_ok(cin, cout, (d, h, wd)):
+        x = jnp.concatenate(sources, 0) if len(sources) > 1 else sources[0]
+        y = _conv_dot(x, w, b, activation)
     else:
         # channels-first XLA fallback (shapes the kernels don't cover —
         # mid-level 64-cubed training shapes; XLA lays out as it pleases)
@@ -123,25 +180,36 @@ def _act_grad_from_output(activation, y, dy):
 
 def _weight_grad(x, dpre):
     """(3, 3, 3, ci, co) weight gradient of a SAME stride-1 conv as ONE
-    wide MXU contraction: stack the 27 shifted-input views on the M axis
-    (27*ci rows) against the flattened cotangent (S columns -> co).  The
-    giant-kernel conv formulation (x as batch, dy as a D*H*W kernel) was
-    measured far slower — XLA lowers it through low-utilization paths."""
+    wide MXU contraction.
+
+    The tap sum  dw[dz,dy,dx] = Σ_{z,h,w} x[z+dz-1, h+dy-1, w+dx-1]·dpre[z,h,w]
+    factors over the kernel axes: the (dy, dx) shift touches only x (pad in
+    H/W) and the dz shift can be moved onto dpre (pad in D), so stacking the
+    9 (dy, dx)-shifted x views on the M axis and the 3 (−dz)-shifted dpre
+    views on the N axis computes ALL 27 taps in one (9·ci, S) @ (S, 3·co)
+    dot — M = 9·ci ≥ 216 rows and N = 3·co lanes instead of the 27 separate
+    (ci, S) @ (S, co) dots whose 24×24 outputs left >96% of the MXU idle
+    (27-dot version measured ~5–7 TFLOP/s; this form is ~5× faster at the
+    128³ shapes that dominate the backward).  The giant-kernel conv
+    formulation (x as batch, dy as a D·H·W kernel) was measured far slower
+    still — XLA lowers it through low-utilization paths."""
     ci, d, h, w = x.shape
     co = dpre.shape[0]
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (1, 1)))
-    rhs = dpre.reshape(co, d * h * w).astype(x.dtype)
-    taps = []
-    for dz in range(3):
-        for dy in range(3):
-            for dx in range(3):
-                lhs = jax.lax.slice(
-                    xp, (0, dz, dy, dx),
-                    (ci, dz + d, dy + h, dx + w)).reshape(ci, d * h * w)
-                taps.append(jax.lax.dot_general(
-                    lhs, rhs, dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32))   # (ci, co)
-    return jnp.stack(taps, 0).reshape(3, 3, 3, ci, co)
+    s = d * h * w
+    xp = jnp.pad(x, ((0, 0), (0, 0), (1, 1), (1, 1)))
+    lhs = jnp.concatenate([
+        jax.lax.slice(xp, (0, 0, dy, dx), (ci, d, dy + h, dx + w))
+        for dy in range(3) for dx in range(3)], axis=0).reshape(9 * ci, s)
+    dp = jnp.pad(dpre.astype(x.dtype), ((0, 0), (1, 1), (0, 0), (0, 0)))
+    # tap dz pairs x plane z+dz-1 with dpre plane z == dpre shifted by 1-dz
+    rhs = jnp.concatenate([
+        jax.lax.slice(dp, (0, 2 - dz, 0, 0), (co, 2 - dz + d, h, w))
+        for dz in range(3)], axis=0).reshape(3 * co, s)
+    dw = jax.lax.dot_general(
+        lhs, rhs, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)          # (9·ci, 3·co)
+    dw = dw.reshape(3, 3, ci, 3, co)                 # (dy, dx, ci, dz, co)
+    return jnp.transpose(dw, (3, 0, 1, 2, 4))        # (dz, dy, dx, ci, co)
 
 
 def _conv_train_bwd(activation, interpret, res, dy):

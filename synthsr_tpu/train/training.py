@@ -106,7 +106,8 @@ def build_seg_loss_fn(seg_model, seg_variables, generation_labels,
 def make_train_step(model, generate_fn, optimizer, metrics="l1", loss_cropping=16,
                     residual_indices=None, use_real_image=False, seg_loss_fn=None,
                     seg_rel_weight=0.25, return_labels_to_loss=False,
-                    remat=False, gmm_sampler=None, fast_forward="auto"):
+                    remat=False, gmm_sampler=None, fast_forward="auto",
+                    advance_key=False):
     """Build the jitted train step: (state, key, batch) -> (state, loss).
 
     state = (params, batch_stats, opt_state). batch = (labels, means, stds
@@ -129,6 +130,12 @@ def make_train_step(model, generate_fn, optimizer, metrics="l1", loss_cropping=1
     TPU bf16 runs; "interpret" forces the kernels in interpret mode (CPU
     tests).  Falls back to ``model.apply`` whenever ``can_fast_train`` says
     the options are out of scope (dropout, residuals, dilation, ...).
+
+    ``advance_key``: when True the per-step ``key, sub = jax.random.split``
+    moves INSIDE the jitted step (identical key stream) and the step returns
+    ``(params, batch_stats, opt_state, new_key, loss)`` — the production
+    loop then never dispatches a separate split executable per step (a
+    measurable per-step host round-trip on remote-tunneled devices).
     """
 
     returns_labels = seg_loss_fn is not None
@@ -163,6 +170,9 @@ def make_train_step(model, generate_fn, optimizer, metrics="l1", loss_cropping=1
 
     def step(params, batch_stats, opt_state, key, batch):
         bs = batch[0].shape[0]
+        new_key = None
+        if advance_key:
+            new_key, key = jax.random.split(key)
         # split for dropout only when the net has it: the key stream (and so
         # every seeded run) is unchanged for the shipped dropout=0 configs
         drop_key = None
@@ -203,9 +213,12 @@ def make_train_step(model, generate_fn, optimizer, metrics="l1", loss_cropping=1
         new_params = guard_updates(finite, new_params, params)
         new_bs = guard_updates(finite, updates["batch_stats"], batch_stats)
         new_opt_state = guard_updates(finite, new_opt_state, opt_state)
+        if advance_key:
+            return new_params, new_bs, new_opt_state, new_key, loss
         return new_params, new_bs, new_opt_state, loss
 
-    return jax.jit(step, donate_argnums=(0, 1, 2))
+    return jax.jit(step, donate_argnums=(0, 1, 2, 3) if advance_key
+                   else (0, 1, 2))
 
 
 # ---------------------------------------------------------------------------
@@ -478,7 +491,8 @@ def training(labels_dir,
                                  seg_rel_weight=relative_weight_segmentation,
                                  remat=remat, gmm_sampler=gmm_sampler,
                                  fast_forward=(fast_forward if n_devices == 1
-                                               else "off"))
+                                               else "off"),
+                                 advance_key=True)
 
     # resume (reference :434-439: epoch parsed from checkpoint filename)
     init_epoch = 0
@@ -539,9 +553,10 @@ def training(labels_dir,
         for step_i in range(steps_per_epoch):
             batch = [np.asarray(x) for x in next(inputs_gen)]
             batch = shard_batch(mesh, tuple(batch))
-            key, sub = jax.random.split(key)
-            params, batch_stats, opt_state, loss = train_step(
-                params, batch_stats, opt_state, sub, batch)
+            # the split runs inside the step (advance_key=True, identical
+            # key stream to a host-side key, sub = jax.random.split(key))
+            params, batch_stats, opt_state, key, loss = train_step(
+                params, batch_stats, opt_state, key, batch)
             guard.push(f"epoch {epoch + 1} step {step_i + 1}", loss)
             epoch_losses.append(loss)
         guard.flush()

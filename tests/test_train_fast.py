@@ -134,3 +134,46 @@ def test_make_train_step_fast_forward_wiring():
     np.testing.assert_allclose(results["off"][1], results["interpret"][1],
                                rtol=1e-6)
     _tree_allclose(results["interpret"][0], results["off"][0], atol=1e-6)
+
+
+def test_dot_conv_matches_xla_and_grads():
+    """The im2col-dot conv (_conv_dot) — used for the 64- and 32-cubed
+    training levels — against lax.conv, forward and both gradients, through
+    the conv3d_cf_train custom_vjp at a dot-qualifying shape."""
+    from synthsr_tpu.ops.conv_train import (_conv_dot, _dot_conv_ok,
+                                            conv3d_cf_train)
+
+    rng = np.random.default_rng(3)
+    ci, co, s = 5, 7, 32
+    assert _dot_conv_ok(ci, co, (s, s, s))
+    x = jnp.asarray(rng.normal(size=(ci, s, s, s)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(3, 3, 3, ci, co)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(co,)).astype(np.float32))
+
+    ref = jax.lax.conv_general_dilated(
+        x[None], w, (1, 1, 1), "SAME",
+        dimension_numbers=("NCDHW", "DHWIO", "NCDHW"))[0] \
+        + b.reshape(-1, 1, 1, 1)
+    ref = jax.nn.elu(ref)
+    got = _conv_dot(x, w, b, "elu")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-4, rtol=2e-5)
+
+    dy = jnp.asarray(rng.normal(size=ref.shape).astype(np.float32))
+
+    def loss_fast(x, w, b):
+        return jnp.sum(conv3d_cf_train((x,), w, b, "elu") * dy)
+
+    def loss_ref(x, w, b):
+        y = jax.lax.conv_general_dilated(
+            x[None], w, (1, 1, 1), "SAME",
+            dimension_numbers=("NCDHW", "DHWIO", "NCDHW"))[0] \
+            + b.reshape(-1, 1, 1, 1)
+        return jnp.sum(jax.nn.elu(y) * dy)
+
+    gf = jax.grad(loss_fast, argnums=(0, 1, 2))(x, w, b)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(x, w, b)
+    for a, r in zip(jax.tree.leaves(gf[0]) + [gf[1], gf[2]],
+                    jax.tree.leaves(gr[0]) + [gr[1], gr[2]]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   atol=5e-3, rtol=1e-4)
