@@ -1017,3 +1017,197 @@ def conv3d_cf(x, w, bias=None, activation: str | None = None,
         interpret=interpret,
     )(xp, wt.astype(x.dtype))
     return out if wq == wdim else out[..., :wdim]
+
+
+# ---------------------------------------------------------------------------
+# weight-gradient kernel (training backward)
+# ---------------------------------------------------------------------------
+
+def _wgrad_layout(cin, cout, d, h, w, dtype_bytes=2):
+    """(th, hp, wp, vmem_bytes) for the wgrad kernel, or None."""
+    if w % 128 != 0 or d % 4 != 0:
+        return None
+    if cin * h * w > 24 * 256 * 256:   # Mosaic compile cap (see _plane_layout)
+        return None
+    hp = ((h + 9 + 7) // 8) * 8
+    wp = w + 256
+    krows = _pad8(9 * cin)
+    for th in (32, 16, 8):
+        if h % th:
+            continue
+        need = (2 * cin * hp * wp * dtype_bytes        # x plane slots x2
+                + 4 * cout * h * w * dtype_bytes       # dpre ring x4
+                + krows * th * w * dtype_bytes         # patches
+                + 3 * krows * max(cout, 128) * 4)      # out accumulator
+        if need <= 90 * 2 ** 20:
+            return th, hp, wp, need
+    return None
+
+
+def _wgrad_kernel(x_hbm, g_hbm, out, slab, gring, patches, isem, gsem, *,
+                  cin, cout, d, hdim, w_out, hp, wp, th, krows, n_streams,
+                  n_steps):
+    """See conv3d_cf_wgrad.  Grid over D in groups of 4 planes (static
+    double/ring buffer slots, like the forward kernels).  Per input plane p:
+    build the 9-tap (dy, dx) patch matrix of x plane p ONCE (same zero-
+    bordered aligned-landing scheme as the v6 forward), then hit it with
+    three (krows, th·W) @ (th·W, cout)ᵀ dots against the resident cotangent
+    planes p+1 / p / p−1 (the dz = 0 / 1 / 2 taps of dw, since tap dz pairs
+    x plane p with dpre plane p−dz+1), accumulating straight into the
+    (3, krows, cout) f32 output block that stays VMEM-resident across the
+    whole grid.  No patch matrix, shifted view, or layout copy ever reaches
+    HBM — the XLA one-dot formulation spent ~30 ms/step on exactly those
+    (pad_slice + concatenate + relayout copies, trace-verified)."""
+    i = pl.program_id(0)
+
+    class _group:
+        def __init__(self, copies):
+            self.copies = copies
+
+        def start(self):
+            for c in self.copies:
+                c.start()
+
+        def wait(self):
+            for c in self.copies:
+                c.wait()
+
+    def _split(n, ns):
+        q, r = divmod(n, ns)
+        sizes = [q + (1 if j < r else 0) for j in range(ns)]
+        starts = [sum(sizes[:j]) for j in range(ns)]
+        return [(st, sz) for st, sz in zip(starts, sizes) if sz]
+
+    nsx = max(1, min(n_streams, cin))
+    nsg = max(1, min(n_streams, cout))
+
+    def x_dma(slot, p):
+        return _group([pltpu.make_async_copy(
+            x_hbm.at[pl.ds(st, sz), p],
+            slab.at[slot, pl.ds(st, sz), pl.ds(8, hdim), pl.ds(128, w_out)],
+            isem.at[slot, j]) for j, (st, sz) in enumerate(_split(cin, nsx))])
+
+    def g_dma(slot, p):
+        return _group([pltpu.make_async_copy(
+            g_hbm.at[pl.ds(st, sz), p],
+            gring.at[slot, pl.ds(st, sz)],
+            gsem.at[slot, j]) for j, (st, sz) in enumerate(_split(cout, nsg))])
+
+    @pl.when(i == 0)
+    def _():
+        for s in range(2):
+            slab[s] = jnp.zeros((cin, hp, wp), slab.dtype)
+        if krows > 9 * cin:
+            patches[9 * cin:, :, :] = jnp.zeros(
+                (krows - 9 * cin, th, w_out), patches.dtype)
+        out[...] = jnp.zeros((3, krows, out.shape[-1]), out.dtype)
+        x_dma(0, 0).start()
+        x_dma(1, 1).start()
+        for p in range(min(3, d)):
+            g_dma(p % 4, p).start()
+
+    n_chunks = hdim // th
+
+    for k in range(4):
+        s = k % 2
+
+        def substep(k=k, s=s):
+            p = 4 * i + k
+            x_dma(s, 0).wait()           # plane p (reconstructed)
+            # cotangent plane p+1 arrives this substep (plane q is waited at
+            # substep q-1; plane 0 specially at substep 0)
+            if k == 3:
+                @pl.when(i < n_steps - 1)
+                def _():
+                    g_dma(0, 0).wait()   # slot (k+1) % 4 == 0
+            else:
+                g_dma((k + 1) % 4, 0).wait()
+            if k == 0:
+                @pl.when(i == 0)
+                def _():
+                    g_dma(0, 0).wait()   # plane 0 itself
+
+            for c_idx in range(n_chunks):
+                h0 = c_idx * th
+                for dy in range(3):
+                    for dx in range(3):
+                        u = slab[s, :, 7 + h0 + dy:7 + h0 + dy + th,
+                                 127 + dx:127 + dx + w_out]
+                        patches[(dy * 3 + dx) * cin:
+                                (dy * 3 + dx + 1) * cin, :, :] = u
+                p2 = patches[:].reshape(krows, th * w_out)
+
+                def tap(dz, slot):
+                    rhs = gring[slot, :, h0:h0 + th, :] \
+                        .reshape(cout, th * w_out)
+                    c = jax.lax.dot_general(
+                        p2, rhs,
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    out[dz, :, 0:cout] = out[dz, :, 0:cout] + c
+
+                tap(1, k % 4)                       # dpre plane p
+                if k == 3:
+                    @pl.when(i < n_steps - 1)
+                    def _():
+                        tap(0, 0)                   # plane p+1, slot (k+1)%4
+                else:
+                    tap(0, (k + 1) % 4)
+                if k == 0:
+                    @pl.when(i > 0)
+                    def _():
+                        tap(2, 3)                   # plane p-1, slot (k-1)%4
+                else:
+                    tap(2, (k - 1) % 4)
+
+            @pl.when(p + 2 <= d - 1)
+            def _():
+                x_dma(s, p + 2).start()
+
+            @pl.when(p + 3 <= d - 1)
+            def _():
+                g_dma((k + 3) % 4, p + 3).start()
+
+        substep()
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "n_streams"))
+def conv3d_cf_wgrad(x, g, interpret: bool = False, n_streams: int = 3):
+    """(3, 3, 3, ci, co) f32 weight gradient of a SAME stride-1 3-cubed conv,
+    channels-first: dw[dz,dy,dx] = sum_p x[ci, p+dz-1, h+dy-1, w+dx-1] ·
+    g[co, p, h, w] (zero padding), computed by the plane-streaming Pallas
+    kernel _wgrad_kernel.  Requires W % 128 == 0, D % 4 == 0 (use
+    _wgrad_layout to gate).  ``x``: (ci, D, H, W); ``g``: (co, D, H, W)
+    cotangent of the PRE-activation output."""
+    ci, d, h, w = x.shape
+    co = g.shape[0]
+    layout = _wgrad_layout(ci, co, d, h, w)
+    assert layout is not None, \
+        f"wgrad shape ({ci},{d},{h},{w})x{co} does not fit the kernel"
+    th, hp, wp, _ = layout
+    krows = _pad8(9 * ci)
+    coq = max(co, 128)
+    nsx = max(1, min(n_streams, ci))
+    nsg = max(1, min(n_streams, co))
+    out = pl.pallas_call(
+        functools.partial(_wgrad_kernel, cin=ci, cout=co, d=d, hdim=h,
+                          w_out=w, hp=hp, wp=wp, th=th, krows=krows,
+                          n_streams=n_streams, n_steps=d // 4),
+        grid=(d // 4,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+                  pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((3, krows, coq), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, ci, hp, wp), x.dtype),
+            pltpu.VMEM((4, co, h, w), x.dtype),
+            pltpu.VMEM((krows, th, w), x.dtype),
+            pltpu.SemaphoreType.DMA((2, nsx)),
+            pltpu.SemaphoreType.DMA((4, nsg)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(x, g.astype(x.dtype))
+    # rows are ordered (dy·3 + dx)·ci + c within each dz slab
+    return out[:, :9 * ci, :co].reshape(3, 3, 3, ci, co)

@@ -35,8 +35,9 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from .conv_pallas import (_plane_layout, conv3d_cf, conv3d_cf_grouped,
-                          conv3d_cf_planes, split_group_for)
+from .conv_pallas import (_plane_layout, _wgrad_layout, conv3d_cf,
+                          conv3d_cf_grouped, conv3d_cf_planes,
+                          conv3d_cf_wgrad, split_group_for)
 
 
 def train_conv_ok(cin, cout, spatial):
@@ -54,11 +55,19 @@ def train_conv_ok(cin, cout, spatial):
 
 
 def _dot_conv_ok(cin, cout, spatial):
-    """im2col-dot qualification: worth it where XLA's native conv leaves the
-    MXU idle (small channel counts on the lane axis) and the 9x patch matrix
-    stays affordable — the 64-cubed and 32-cubed levels of 128-cubed
-    training (the 128-cubed levels take the Pallas kernels instead, and at
-    16-cubed and below channels reach >=96 so XLA's layout is fine)."""
+    """im2col-dot qualification — OPT-IN (SYNTHSR_DOT_CONV=1), recorded
+    negative result: the spatial-on-lanes dot form looked ~2-5x faster than
+    XLA's channels-last conv in per-layer microbenches, but those were
+    dominated by per-dispatch tunnel overhead; inside the fused train step
+    the 9x patch-matrix materialization (pad+slice+concat+reshape copies)
+    costs more than it saves — 128-cubed tutorial-7 step measured 4.54
+    steps/s with XLA channels-last mid levels vs 4.24 with the dot form.
+    Kept for reference and for the oracle test; the winning mid-level
+    layout remains channels-last XLA (unet_cf_train switches at 64-cubed)."""
+    import os
+
+    if not os.environ.get("SYNTHSR_DOT_CONV"):
+        return False
     d, h, w = spatial
     s = d * h * w
     return 32 ** 3 <= s <= 64 ** 3 and max(cin, cout) <= 160 \
@@ -224,8 +233,16 @@ def _conv_train_bwd(activation, interpret, res, dy):
         dxs.append(dx[off:off + s.shape[0]].astype(s.dtype))
         off += s.shape[0]
     # per-source weight gradients: slices along ci are independent, so the
-    # concatenated input never materializes for the kgrad either
-    dws = [_weight_grad(s, dpre) for s in sources]
+    # concatenated input never materializes for the kgrad either.  The
+    # Pallas wgrad kernel (in-VMEM patch building, zero HBM patch traffic)
+    # takes every qualifying shape; _weight_grad's one-dot XLA form covers
+    # the rest (mid-level volumes, CPU).
+    def wgrad(s):
+        if _wgrad_layout(s.shape[0], dpre.shape[0], *s.shape[1:]) is not None:
+            return conv3d_cf_wgrad(s, dpre, interpret=interpret)
+        return _weight_grad(s, dpre)
+
+    dws = [wgrad(s) for s in sources]
     dw = jnp.concatenate(dws, axis=3) if len(dws) > 1 else dws[0]
     return tuple(dxs), dw.astype(w.dtype), db
 

@@ -137,15 +137,17 @@ def test_make_train_step_fast_forward_wiring():
 
 
 def test_dot_conv_matches_xla_and_grads():
-    """The im2col-dot conv (_conv_dot) — used for the 64- and 32-cubed
-    training levels — against lax.conv, forward and both gradients, through
-    the conv3d_cf_train custom_vjp at a dot-qualifying shape."""
+    """The im2col-dot conv (_conv_dot, opt-in via SYNTHSR_DOT_CONV=1; kept
+    as a recorded negative result) against lax.conv, forward and both
+    gradients, through the conv3d_cf_train custom_vjp at a dot-qualifying
+    shape."""
+    import os
+
     from synthsr_tpu.ops.conv_train import (_conv_dot, _dot_conv_ok,
                                             conv3d_cf_train)
 
     rng = np.random.default_rng(3)
     ci, co, s = 5, 7, 32
-    assert _dot_conv_ok(ci, co, (s, s, s))
     x = jnp.asarray(rng.normal(size=(ci, s, s, s)).astype(np.float32))
     w = jnp.asarray(rng.normal(size=(3, 3, 3, ci, co)).astype(np.float32))
     b = jnp.asarray(rng.normal(size=(co,)).astype(np.float32))
@@ -171,7 +173,12 @@ def test_dot_conv_matches_xla_and_grads():
             + b.reshape(-1, 1, 1, 1)
         return jnp.sum(jax.nn.elu(y) * dy)
 
-    gf = jax.grad(loss_fast, argnums=(0, 1, 2))(x, w, b)
+    os.environ["SYNTHSR_DOT_CONV"] = "1"
+    try:
+        assert _dot_conv_ok(ci, co, (s, s, s))
+        gf = jax.grad(loss_fast, argnums=(0, 1, 2))(x, w, b)
+    finally:
+        del os.environ["SYNTHSR_DOT_CONV"]
     gr = jax.grad(loss_ref, argnums=(0, 1, 2))(x, w, b)
     for a, r in zip(jax.tree.leaves(gf[0]) + [gf[1], gf[2]],
                     jax.tree.leaves(gr[0]) + [gr[1], gr[2]]):
