@@ -1036,28 +1036,32 @@ def _wgrad_layout(cin, cout, d, h, w, dtype_bytes=2):
         if h % th:
             continue
         need = (2 * cin * hp * wp * dtype_bytes        # x plane slots x2
-                + 4 * cout * h * w * dtype_bytes       # dpre ring x4
+                + 4 * cout * h * w * dtype_bytes       # cotangent ring x4
                 + krows * th * w * dtype_bytes         # patches
-                + 3 * krows * max(cout, 128) * 4)      # out accumulator
+                + 3 * cout * th * w * dtype_bytes      # z-stacked rhs buffer
+                + krows * max(3 * cout, 128) * 4)      # out accumulator
         if need <= 90 * 2 ** 20:
             return th, hp, wp, need
     return None
 
 
-def _wgrad_kernel(x_hbm, g_hbm, out, slab, gring, patches, isem, gsem, *,
-                  cin, cout, d, hdim, w_out, hp, wp, th, krows, n_streams,
+def _wgrad_kernel(x_hbm, g_hbm, out, slab, gring, patches, dbuf, isem, gsem,
+                  *, cin, cout, d, hdim, w_out, hp, wp, th, krows, n_streams,
                   n_steps):
     """See conv3d_cf_wgrad.  Grid over D in groups of 4 planes (static
     double/ring buffer slots, like the forward kernels).  Per input plane p:
     build the 9-tap (dy, dx) patch matrix of x plane p ONCE (same zero-
-    bordered aligned-landing scheme as the v6 forward), then hit it with
-    three (krows, th·W) @ (th·W, cout)ᵀ dots against the resident cotangent
-    planes p+1 / p / p−1 (the dz = 0 / 1 / 2 taps of dw, since tap dz pairs
-    x plane p with dpre plane p−dz+1), accumulating straight into the
-    (3, krows, cout) f32 output block that stays VMEM-resident across the
-    whole grid.  No patch matrix, shifted view, or layout copy ever reaches
-    HBM — the XLA one-dot formulation spent ~30 ms/step on exactly those
-    (pad_slice + concatenate + relayout copies, trace-verified)."""
+    bordered aligned-landing scheme as the v6 forward), z-stack the three
+    resident cotangent planes (gp[p+2], gp[p+1], gp[p] — the host pads the
+    cotangent with one zero plane each side, so tap dz of dw pairs x plane p
+    with padded plane p+2-dz unconditionally, no edge predication), and hit
+    the patches with ONE (krows, th·W) x (3·cout, th·W)ᵀ dot per chunk —
+    N = 3·cout MXU columns instead of three N = cout dots — accumulating
+    straight into the (krows, 3·cout) f32 output block that stays
+    VMEM-resident across the whole grid.  No patch matrix, shifted view, or
+    layout copy ever reaches HBM — the XLA one-dot formulation spent
+    ~30 ms/step on exactly those (pad_slice + concatenate + relayout copies,
+    trace-verified)."""
     i = pl.program_id(0)
 
     class _group:
@@ -1087,9 +1091,10 @@ def _wgrad_kernel(x_hbm, g_hbm, out, slab, gring, patches, isem, gsem, *,
             slab.at[slot, pl.ds(st, sz), pl.ds(8, hdim), pl.ds(128, w_out)],
             isem.at[slot, j]) for j, (st, sz) in enumerate(_split(cin, nsx))])
 
-    def g_dma(slot, p):
+    def g_dma(slot, q):
+        # q indexes the HOST-PADDED cotangent gp (d + 2 planes)
         return _group([pltpu.make_async_copy(
-            g_hbm.at[pl.ds(st, sz), p],
+            g_hbm.at[pl.ds(st, sz), q],
             gring.at[slot, pl.ds(st, sz)],
             gsem.at[slot, j]) for j, (st, sz) in enumerate(_split(cout, nsg))])
 
@@ -1100,11 +1105,11 @@ def _wgrad_kernel(x_hbm, g_hbm, out, slab, gring, patches, isem, gsem, *,
         if krows > 9 * cin:
             patches[9 * cin:, :, :] = jnp.zeros(
                 (krows - 9 * cin, th, w_out), patches.dtype)
-        out[...] = jnp.zeros((3, krows, out.shape[-1]), out.dtype)
+        out[...] = jnp.zeros(out.shape, out.dtype)
         x_dma(0, 0).start()
         x_dma(1, 1).start()
-        for p in range(min(3, d)):
-            g_dma(p % 4, p).start()
+        for q in range(3):
+            g_dma(q % 4, q).start()
 
     n_chunks = hdim // th
 
@@ -1113,19 +1118,15 @@ def _wgrad_kernel(x_hbm, g_hbm, out, slab, gring, patches, isem, gsem, *,
 
         def substep(k=k, s=s):
             p = 4 * i + k
-            x_dma(s, 0).wait()           # plane p (reconstructed)
-            # cotangent plane p+1 arrives this substep (plane q is waited at
-            # substep q-1; plane 0 specially at substep 0)
-            if k == 3:
-                @pl.when(i < n_steps - 1)
-                def _():
-                    g_dma(0, 0).wait()   # slot (k+1) % 4 == 0
-            else:
-                g_dma((k + 1) % 4, 0).wait()
+            x_dma(s, 0).wait()           # x plane p (reconstructed)
+            # gp plane p+2 arrives this substep (gp[q] is waited at substep
+            # q-2; gp[0] and gp[1] specially at substep 0)
+            g_dma((k + 2) % 4, 0).wait()
             if k == 0:
                 @pl.when(i == 0)
                 def _():
-                    g_dma(0, 0).wait()   # plane 0 itself
+                    g_dma(0, 0).wait()
+                    g_dma(1, 0).wait()
 
             for c_idx in range(n_chunks):
                 h0 = c_idx * th
@@ -1135,36 +1136,24 @@ def _wgrad_kernel(x_hbm, g_hbm, out, slab, gring, patches, isem, gsem, *,
                                  127 + dx:127 + dx + w_out]
                         patches[(dy * 3 + dx) * cin:
                                 (dy * 3 + dx + 1) * cin, :, :] = u
-                p2 = patches[:].reshape(krows, th * w_out)
-
-                def tap(dz, slot):
-                    rhs = gring[slot, :, h0:h0 + th, :] \
-                        .reshape(cout, th * w_out)
-                    c = jax.lax.dot_general(
-                        p2, rhs,
-                        dimension_numbers=(((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32)
-                    out[dz, :, 0:cout] = out[dz, :, 0:cout] + c
-
-                tap(1, k % 4)                       # dpre plane p
-                if k == 3:
-                    @pl.when(i < n_steps - 1)
-                    def _():
-                        tap(0, 0)                   # plane p+1, slot (k+1)%4
-                else:
-                    tap(0, (k + 1) % 4)
-                if k == 0:
-                    @pl.when(i > 0)
-                    def _():
-                        tap(2, 3)                   # plane p-1, slot (k-1)%4
-                else:
-                    tap(2, (k - 1) % 4)
+                # z-stacked cotangent rows: dz = 0 / 1 / 2 pair x plane p
+                # with gp planes p+2 / p+1 / p
+                dbuf[0:cout, :, :] = gring[(k + 2) % 4, :, h0:h0 + th, :]
+                dbuf[cout:2 * cout, :, :] = gring[(k + 1) % 4, :,
+                                                  h0:h0 + th, :]
+                dbuf[2 * cout:, :, :] = gring[k % 4, :, h0:h0 + th, :]
+                c = jax.lax.dot_general(
+                    patches[:].reshape(krows, th * w_out),
+                    dbuf[:].reshape(3 * cout, th * w_out),
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                out[:, 0:3 * cout] = out[:, 0:3 * cout] + c
 
             @pl.when(p + 2 <= d - 1)
             def _():
                 x_dma(s, p + 2).start()
 
-            @pl.when(p + 3 <= d - 1)
+            @pl.when(p + 3 <= d + 1)
             def _():
                 g_dma((k + 3) % 4, p + 3).start()
 
@@ -1186,9 +1175,10 @@ def conv3d_cf_wgrad(x, g, interpret: bool = False, n_streams: int = 3):
         f"wgrad shape ({ci},{d},{h},{w})x{co} does not fit the kernel"
     th, hp, wp, _ = layout
     krows = _pad8(9 * ci)
-    coq = max(co, 128)
+    coq = max(3 * co, 128)
     nsx = max(1, min(n_streams, ci))
     nsg = max(1, min(n_streams, co))
+    gp = jnp.pad(g.astype(x.dtype), ((0, 0), (1, 1), (0, 0), (0, 0)))
     out = pl.pallas_call(
         functools.partial(_wgrad_kernel, cin=ci, cout=co, d=d, hdim=h,
                           w_out=w, hp=hp, wp=wp, th=th, krows=krows,
@@ -1197,17 +1187,19 @@ def conv3d_cf_wgrad(x, g, interpret: bool = False, n_streams: int = 3):
         in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
                   pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((3, krows, coq), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((krows, coq), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((2, ci, hp, wp), x.dtype),
             pltpu.VMEM((4, co, h, w), x.dtype),
             pltpu.VMEM((krows, th, w), x.dtype),
+            pltpu.VMEM((3 * co, th, w), x.dtype),
             pltpu.SemaphoreType.DMA((2, nsx)),
             pltpu.SemaphoreType.DMA((4, nsg)),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(x, g.astype(x.dtype))
-    # rows are ordered (dy·3 + dx)·ci + c within each dz slab
-    return out[:, :9 * ci, :co].reshape(3, 3, 3, ci, co)
+    )(x, gp)
+    # rows are (dy·3 + dx)·ci + c; columns are dz·co + co_idx
+    dw = out[:9 * ci, :3 * co].reshape(3, 3, ci, 3, co)
+    return jnp.transpose(dw, (3, 0, 1, 2, 4))
