@@ -47,6 +47,18 @@ Two kernels share the channels-on-sublanes formulation:
   (~ cin*h*w / vreg): cin=24 at 256^2-lane planes lowers in ~5 min, cin=72
   never finished (>20 min, multi-GB MLIR).  _plane_layout enforces the cap.
 
+Third recorded negative result (round 3): sublane-aligned staging.  The
+patch build's dy reads start at rows 7/8/9 — two of three sublane-
+misaligned.  A perf-only probe forcing all dy reads to the aligned row 8
+(wrong numerics, identical op structure) measured 17.51 -> 15.80 ms for the
+24ch 256^3 conv: ~10% is the UPPER BOUND on what 3-DMA-landing staging
+could recover, before paying its own 3x input DMA and 3x slab VMEM (which
+at 256^3 would force a smaller ring or chunking).  The patch-build bound is
+the 9x copy traffic itself, not the misalignment penalty — staging
+rejected.  (Fourth: the v5 blocked kernel at 64-cubed training shapes loses
+to XLA's channels-last conv, 3.04 vs 2.18 ms at 24->48 — half-empty lanes
+plus the strided-chunk DMA; 64-cubed levels stay channels-last XLA.)
+
 Mosaic constraints baked in (each cost a compile attempt): values can't be
 dynamically sliced (slice refs via pl.ds), dynamic sublane starts must be
 8-aligned (hence the +8 H padding and static dy shifts in v5; v6 lands
