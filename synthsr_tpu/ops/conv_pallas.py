@@ -1183,8 +1183,11 @@ def conv3d_cf_wgrad(x, g, interpret: bool = False, n_streams: int = 3):
     ci, d, h, w = x.shape
     co = g.shape[0]
     layout = _wgrad_layout(ci, co, d, h, w)
-    assert layout is not None, \
-        f"wgrad shape ({ci},{d},{h},{w})x{co} does not fit the kernel"
+    if layout is None:
+        flat = _wgrad_flat_layout(ci, co, d, h, w)
+        assert flat is not None, \
+            f"wgrad shape ({ci},{d},{h},{w})x{co} does not fit the kernels"
+        return _wgrad_flat_call(x, g, flat, interpret, n_streams)
     th, hp, wp, _ = layout
     krows = _pad8(9 * ci)
     coq = max(3 * co, 128)
@@ -1213,5 +1216,469 @@ def conv3d_cf_wgrad(x, g, interpret: bool = False, n_streams: int = 3):
         interpret=interpret,
     )(x, gp)
     # rows are (dy·3 + dx)·ci + c; columns are dz·co + co_idx
+    dw = out[:9 * ci, :3 * co].reshape(3, 3, ci, 3, co)
+    return jnp.transpose(dw, (3, 0, 1, 2, 4))
+
+
+# ---------------------------------------------------------------------------
+# flat-plane kernel: folded (H, W) planes for narrow widths (64/32-cubed)
+# ---------------------------------------------------------------------------
+
+def _flat_layout(cin, cout, d, h, w, dtype_bytes=2):
+    """(hq, bh, vmem_bytes) for the flat-plane kernel, or None.
+
+    Folds each (H, W) plane into (hq = H·W/128, 128) rows — a pure row-major
+    reinterpretation — so the 128-lane constraint moves from W to H·W.  The
+    9 (dy, dx) taps become static slices at flat offsets (dy−1)·W + (dx−1)
+    of a zero-bordered flat view, plus two per-lane masks that zero the
+    W-boundary wrap of the dx = 0/2 taps.  This is what makes the 64- and
+    32-cubed U-Net levels (whose W < 128 disqualifies the v6 kernel, and
+    whose 24..144 channels leave XLA's channels-last conv at 7-13 TFLOP/s)
+    kernel-eligible."""
+    el = h * w
+    if el % 128 != 0 or el < 1024 or d % 4 != 0 or not (8 <= w <= 127):
+        return None
+    if 128 % w != 0:
+        return None          # masks must repeat within every 128-lane row
+    if cin * el > 24 * 256 * 256:      # Mosaic compile cap (see _plane_layout)
+        return None
+    hq = el // 128
+    bh = min(8, hq)
+    if hq % bh:
+        return None
+    krows = _pad8(9 * cin + 1)
+    need = (4 * cin * (hq + 16) * 128 * dtype_bytes   # slab slots
+            + krows * bh * 128 * dtype_bytes          # patches
+            + 4 * cout * hq * 128 * 4                 # f32 acc ring
+            + 2 * cout * hq * 128 * dtype_bytes       # out planes x2
+            + 2 * bh * 128 * dtype_bytes)             # wrap masks
+    if need > 90 * 2 ** 20:
+        return None
+    return hq, bh, need
+
+
+def _flat_kernel(*refs, cin, cout, d, hq, bh, w, has_bias, activation,
+                 n_streams, n_steps, src_cins):
+    """Input-stationary plane streaming on FLAT folded planes (see
+    _flat_layout).  Structure mirrors _plane_kernel: 4 planes per grid step
+    with static ring slots, each plane's 9-tap patch matrix built once and
+    hit with one 3-z-stacked dot, 4 rolling f32 plane accumulators, output
+    plane z = p−1 completing with plane p's dz=2 contribution.  The taps are
+    misaligned flat-lane slices of a (cin, (bh+2)·128) row-band value whose
+    W-boundary wraps are zeroed by precomputed lane masks."""
+    it = iter(refs)
+    x_srcs = [next(it) for _ in src_cins]
+    w_ref = next(it)
+    out_hbm = next(it)
+    slab, patches, acc, obuf, masks = (next(it) for _ in range(5))
+    isem, osem = next(it), next(it)
+    i = pl.program_id(0)
+    el = hq * 128
+    bl = bh * 128
+
+    class _group:
+        def __init__(self, copies):
+            self.copies = copies
+
+        def start(self):
+            for c in self.copies:
+                c.start()
+
+        def wait(self):
+            for c in self.copies:
+                c.wait()
+
+    def _split(n):
+        q, r = divmod(n, n_streams)
+        sizes = [q + (1 if j < r else 0) for j in range(n_streams)]
+        starts = [sum(sizes[:j]) for j in range(n_streams)]
+        return [(st, sz) for st, sz in zip(starts, sizes) if sz]
+
+    def in_dma(slot, p):
+        copies = []
+        j = 0
+        off = 0
+        for src, cin_s in zip(x_srcs, src_cins):
+            for st, sz in _split(cin_s):
+                copies.append(pltpu.make_async_copy(
+                    src.at[pl.ds(st, sz), p],
+                    slab.at[slot, pl.ds(off + st, sz), pl.ds(8, hq)],
+                    isem.at[slot, j]))
+                j += 1
+            off += cin_s
+        return _group(copies)
+
+    def out_dma(oslot, z):
+        return _group([pltpu.make_async_copy(
+            obuf.at[oslot, pl.ds(st, sz)],
+            out_hbm.at[pl.ds(st, sz), z],
+            osem.at[oslot, j]) for j, (st, sz) in enumerate(_split(cout))])
+
+    def act(val):
+        if activation == "elu":
+            val = jnp.where(val > 0, val, jnp.exp(val) - 1.0)
+        elif activation == "relu":
+            val = jnp.maximum(val, 0.0)
+        return val
+
+    @pl.when(i == 0)
+    def _():
+        for s in range(4):
+            slab[s] = jnp.zeros(slab.shape[1:], slab.dtype)
+        patches[9 * cin:, :] = jnp.zeros(
+            (patches.shape[0] - 9 * cin, bl), patches.dtype)
+        if has_bias:
+            patches[9 * cin, :] = jnp.ones((bl,), patches.dtype)
+        # W-boundary wrap masks: flat lane j is output (h, w) = divmod(j, W);
+        # the dx = 0 tap is invalid at w = 0, the dx = 2 tap at w = W-1 (the
+        # flat shift would pull the neighbouring row's value there).  The
+        # pattern repeats every W lanes and every chunk starts W-aligned
+        # (chunks are 128-lane rows, 128 % W == 0), so one bh-row mask
+        # serves every chunk.
+        lane = jax.lax.broadcasted_iota(jnp.int32, (2, bl), 1)
+        wpos = jax.lax.rem(lane, w)
+        masks[0:1, :] = (wpos[0:1] != 0).astype(masks.dtype)
+        masks[1:2, :] = (wpos[1:2] != (w - 1)).astype(masks.dtype)
+        for s in range(min(4, d)):
+            in_dma(s, s).start()
+
+    krows = patches.shape[0]
+    n_chunks = hq // bh
+
+    for k in range(4):
+        p = 4 * i + k
+        z_prev = p - 1  # completes this substep via dz=2
+
+        def substep(k=k, p=p, z_prev=z_prev):
+            in_dma(k, p).wait()
+            o_prev = (k - 1) % 2
+
+            def wait_prev():
+                out_dma(o_prev, z_prev - 2).wait()
+            if k >= 3:
+                wait_prev()
+            else:
+                pl.when(z_prev >= 2)(wait_prev)
+            if k == 3:
+                @pl.when(i == n_steps - 1)
+                def _():
+                    out_dma(k % 2, d - 3).wait()
+
+            def chunk(c_idx):
+                r0 = c_idx * bh
+                # row band r0-1 .. r0+bh (plane rows start at slab row 8):
+                # its flat view puts output-chunk flat position c0 = r0·128
+                # at local offset 128, with valid data 128 lanes either side
+                v = slab[k, :, 7 + r0:7 + r0 + bh + 2, :] \
+                    .reshape(cin, (bh + 2) * 128)
+                for dy in range(3):
+                    for dx in range(3):
+                        delta = (dy - 1) * w + (dx - 1)
+                        u = v[:, 128 + delta:128 + delta + bl]
+                        if dx == 0:
+                            u = u * masks[0:1, :]
+                        elif dx == 2:
+                            u = u * masks[1:2, :]
+                        patches[(dy * 3 + dx) * cin:
+                                (dy * 3 + dx + 1) * cin, :] = u
+                c = jax.lax.dot_general(
+                    w_ref[:], patches[:],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)    # (3*cout, bl)
+                rs = pl.ds(r0, bh)
+
+                # dz=0 -> out[p+1]: overwrite (first contribution; p+1 == d
+                # is a dead garbage write into a slot about to be reused)
+                acc[(k + 1) % 4, :, rs, :] = c[0:cout].reshape(cout, bh, 128)
+
+                # dz=1 -> out[p]: add; out[0]'s first contribution is this
+                upd1 = c[cout:2 * cout].reshape(cout, bh, 128)
+                if k == 0:
+                    @pl.when(i == 0)
+                    def _():
+                        acc[0, :, rs, :] = upd1
+
+                    @pl.when(i > 0)
+                    def _():
+                        acc[0, :, rs, :] = acc[0, :, rs, :] + upd1
+                else:
+                    acc[k, :, rs, :] = acc[k, :, rs, :] + upd1
+
+                # dz=2 -> out[p-1] complete: epilogue straight to obuf
+                def emit():
+                    val = acc[(k - 1) % 4, :, rs, :] \
+                        + c[2 * cout:3 * cout].reshape(cout, bh, 128)
+                    obuf[o_prev, :, rs, :] = act(val).astype(obuf.dtype)
+                if k == 0:
+                    pl.when(i > 0)(emit)
+                else:
+                    emit()
+                if k == 3:
+                    # out[d-1] completes with this plane's dz=1
+                    @pl.when(i == n_steps - 1)
+                    def _():
+                        val = acc[3, :, rs, :]
+                        obuf[1, :, rs, :] = act(val).astype(obuf.dtype)
+
+            for c_idx in range(n_chunks):
+                chunk(c_idx)
+
+            def start_out():
+                out_dma(o_prev, z_prev).start()
+            if k == 0:
+                pl.when(i > 0)(start_out)
+            else:
+                start_out()
+            if k == 3:
+                @pl.when(i == n_steps - 1)
+                def _():
+                    out_dma(1, d - 1).start()
+
+            @pl.when(p + 4 <= d - 1)
+            def _():
+                in_dma(k, p + 4).start()
+
+        substep()
+
+    @pl.when(i == n_steps - 1)
+    def _():
+        out_dma(0, d - 2).wait()
+        out_dma(1, d - 1).wait()
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "activation", "n_streams"))
+def conv3d_cf_flat(x, w, bias=None, activation: str | None = None,
+                   interpret: bool = False, n_streams: int = 2):
+    """SAME 3-cubed conv, channels-first, on FLAT folded planes — the narrow-
+    width (64/32-cubed) sibling of conv3d_cf_planes.  Same contract; requires
+    (H·W) % 128 == 0, H·W >= 1024, 8 <= W <= 127 with 128 % W == 0, and
+    D % 4 == 0 (_flat_layout gates).  ``x`` may be a list of (C_i, D, H, W)
+    sources conceptually concatenated along C (multi-source DMA at channel
+    offsets, the concat never in HBM)."""
+    sources = list(x) if isinstance(x, (list, tuple)) else [x]
+    src_cins = tuple(s.shape[0] for s in sources)
+    cin = sum(src_cins)
+    d, h, wdim = sources[0].shape[1:]
+    cout = w.shape[-1]
+    assert w.shape[:3] == (3, 3, 3) and w.shape[3] == cin
+    layout = _flat_layout(cin, cout, d, h, wdim)
+    assert layout is not None, \
+        f"shape ({cin},{d},{h},{wdim})->{cout} does not fit the flat kernel"
+    hq, bh, _ = layout
+
+    wt = jnp.transpose(w.reshape(3, 9 * cin, cout), (0, 2, 1)) \
+        .reshape(3 * cout, 9 * cin)
+    nst = max(1, min(n_streams, cin, cout))
+    has_bias = bias is not None
+    if has_bias:
+        # center-tap bias (see conv3d_cf_planes: every out[z]'s dz=1 source
+        # exists, so the dz=1 ones-row adds bias exactly once everywhere)
+        b = jnp.asarray(bias).reshape(-1, 1)
+        bcol = jnp.concatenate([jnp.zeros_like(b), b, jnp.zeros_like(b)])
+        wt = jnp.concatenate([wt, bcol.astype(wt.dtype)], axis=1)
+    krows = _pad8(9 * cin + 1)
+    wt = jnp.pad(wt, ((0, 0), (0, krows - wt.shape[1])))
+
+    dt = sources[0].dtype
+    flat_srcs = [s.reshape(s.shape[0], d, hq, 128) for s in sources]
+    n_in_copies = sum(min(nst, c) for c in src_cins)
+    out = pl.pallas_call(
+        functools.partial(_flat_kernel, cin=cin, cout=cout, d=d, hq=hq,
+                          bh=bh, w=wdim, has_bias=has_bias,
+                          activation=activation, n_streams=nst,
+                          n_steps=d // 4, src_cins=src_cins),
+        grid=(d // 4,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)
+                  for _ in sources] + [pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+        out_shape=jax.ShapeDtypeStruct((cout, d, hq, 128), dt),
+        scratch_shapes=[
+            pltpu.VMEM((4, cin, hq + 16, 128), dt),
+            pltpu.VMEM((krows, bh * 128), dt),
+            pltpu.VMEM((4, cout, hq, 128), jnp.float32),
+            pltpu.VMEM((2, cout, hq, 128), dt),
+            pltpu.VMEM((2, bh * 128), dt),
+            pltpu.SemaphoreType.DMA((4, n_in_copies)),
+            pltpu.SemaphoreType.DMA((2, max(1, min(nst, cout)))),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*(flat_srcs + [wt.astype(dt)]))
+    return out.reshape(cout, d, h, wdim)
+
+
+def _wgrad_flat_layout(cin, cout, d, h, w, dtype_bytes=2):
+    """(hq, bh, vmem_bytes) for the folded-plane wgrad kernel, or None."""
+    el = h * w
+    if el % 128 != 0 or el < 1024 or d % 4 != 0 or not (8 <= w <= 127):
+        return None
+    if 128 % w != 0:
+        return None
+    if cin * el > 24 * 256 * 256:
+        return None
+    hq = el // 128
+    bh = min(8, hq)
+    if hq % bh:
+        return None
+    krows = _pad8(9 * cin)
+    need = (2 * cin * (hq + 16) * 128 * dtype_bytes   # x slab slots
+            + 4 * cout * hq * 128 * dtype_bytes       # cotangent ring
+            + krows * bh * 128 * dtype_bytes          # patches
+            + 3 * cout * bh * 128 * dtype_bytes       # z-stacked rhs
+            + 2 * bh * 128 * dtype_bytes              # wrap masks
+            + krows * max(3 * cout, 128) * 4)         # out accumulator
+    if need > 90 * 2 ** 20:
+        return None
+    return hq, bh, need
+
+
+def _wgrad_flat_kernel(x_hbm, g_hbm, out, slab, gring, patches, dbuf, masks,
+                       isem, gsem, *, cin, cout, d, hq, bh, w, krows,
+                       n_streams, n_steps):
+    """Folded-plane twin of _wgrad_kernel (see conv3d_cf_wgrad): the 9-tap
+    patch matrix is built from masked flat-lane slices of a row-band value
+    (the _flat_kernel tap scheme), the cotangent arrives host-padded and
+    z-stacks into a (3·cout, bh·128) rhs, and one dot per chunk accumulates
+    into the VMEM-resident (krows, 3·cout) f32 output block."""
+    i = pl.program_id(0)
+    bl = bh * 128
+
+    class _group:
+        def __init__(self, copies):
+            self.copies = copies
+
+        def start(self):
+            for c in self.copies:
+                c.start()
+
+        def wait(self):
+            for c in self.copies:
+                c.wait()
+
+    def _split(n, ns):
+        q, r = divmod(n, ns)
+        sizes = [q + (1 if j < r else 0) for j in range(ns)]
+        starts = [sum(sizes[:j]) for j in range(ns)]
+        return [(st, sz) for st, sz in zip(starts, sizes) if sz]
+
+    nsx = max(1, min(n_streams, cin))
+    nsg = max(1, min(n_streams, cout))
+
+    def x_dma(slot, p):
+        return _group([pltpu.make_async_copy(
+            x_hbm.at[pl.ds(st, sz), p],
+            slab.at[slot, pl.ds(st, sz), pl.ds(8, hq)],
+            isem.at[slot, j]) for j, (st, sz) in enumerate(_split(cin, nsx))])
+
+    def g_dma(slot, q):
+        return _group([pltpu.make_async_copy(
+            g_hbm.at[pl.ds(st, sz), q],
+            gring.at[slot, pl.ds(st, sz)],
+            gsem.at[slot, j]) for j, (st, sz) in enumerate(_split(cout, nsg))])
+
+    @pl.when(i == 0)
+    def _():
+        for s in range(2):
+            slab[s] = jnp.zeros(slab.shape[1:], slab.dtype)
+        if krows > 9 * cin:
+            patches[9 * cin:, :] = jnp.zeros(
+                (krows - 9 * cin, bl), patches.dtype)
+        out[...] = jnp.zeros(out.shape, out.dtype)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (2, bl), 1)
+        wpos = jax.lax.rem(lane, w)
+        masks[0:1, :] = (wpos[0:1] != 0).astype(masks.dtype)
+        masks[1:2, :] = (wpos[1:2] != (w - 1)).astype(masks.dtype)
+        x_dma(0, 0).start()
+        x_dma(1, 1).start()
+        for q in range(3):
+            g_dma(q % 4, q).start()
+
+    n_chunks = hq // bh
+
+    for k in range(4):
+        s = k % 2
+
+        def substep(k=k, s=s):
+            p = 4 * i + k
+            x_dma(s, 0).wait()           # x plane p (reconstructed)
+            g_dma((k + 2) % 4, 0).wait()  # gp plane p+2
+            if k == 0:
+                @pl.when(i == 0)
+                def _():
+                    g_dma(0, 0).wait()
+                    g_dma(1, 0).wait()
+
+            for c_idx in range(n_chunks):
+                r0 = c_idx * bh
+                v = slab[s, :, 7 + r0:7 + r0 + bh + 2, :] \
+                    .reshape(cin, (bh + 2) * 128)
+                for dy in range(3):
+                    for dx in range(3):
+                        delta = (dy - 1) * w + (dx - 1)
+                        u = v[:, 128 + delta:128 + delta + bl]
+                        if dx == 0:
+                            u = u * masks[0:1, :]
+                        elif dx == 2:
+                            u = u * masks[1:2, :]
+                        patches[(dy * 3 + dx) * cin:
+                                (dy * 3 + dx + 1) * cin, :] = u
+                rs = pl.ds(r0, bh)
+                dbuf[0:cout, :] = gring[(k + 2) % 4, :, rs, :] \
+                    .reshape(cout, bl)
+                dbuf[cout:2 * cout, :] = gring[(k + 1) % 4, :, rs, :] \
+                    .reshape(cout, bl)
+                dbuf[2 * cout:, :] = gring[k % 4, :, rs, :] \
+                    .reshape(cout, bl)
+                c = jax.lax.dot_general(
+                    patches[:], dbuf[:],
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                out[:, 0:3 * cout] = out[:, 0:3 * cout] + c
+
+            @pl.when(p + 2 <= d - 1)
+            def _():
+                x_dma(s, p + 2).start()
+
+            @pl.when(p + 3 <= d + 1)
+            def _():
+                g_dma((k + 3) % 4, p + 3).start()
+
+        substep()
+
+
+def _wgrad_flat_call(x, g, layout, interpret, n_streams):
+    """Dispatch helper for conv3d_cf_wgrad's folded-plane variant."""
+    ci, d, h, w = x.shape
+    co = g.shape[0]
+    hq, bh, _ = layout
+    krows = _pad8(9 * ci)
+    coq = max(3 * co, 128)
+    nsx = max(1, min(n_streams, ci))
+    nsg = max(1, min(n_streams, co))
+    gp = jnp.pad(g.astype(x.dtype), ((0, 0), (1, 1), (0, 0), (0, 0)))
+    out = pl.pallas_call(
+        functools.partial(_wgrad_flat_kernel, cin=ci, cout=co, d=d, hq=hq,
+                          bh=bh, w=w, krows=krows, n_streams=n_streams,
+                          n_steps=d // 4),
+        grid=(d // 4,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+                  pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((krows, coq), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, ci, hq + 16, 128), x.dtype),
+            pltpu.VMEM((4, co, hq, 128), x.dtype),
+            pltpu.VMEM((krows, bh * 128), x.dtype),
+            pltpu.VMEM((3 * co, bh * 128), x.dtype),
+            pltpu.VMEM((2, bh * 128), x.dtype),
+            pltpu.SemaphoreType.DMA((2, nsx)),
+            pltpu.SemaphoreType.DMA((4, nsg)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(x.reshape(ci, d, hq, 128), gp.reshape(co, d + 2, hq, 128))
     dw = out[:9 * ci, :3 * co].reshape(3, 3, ci, 3, co)
     return jnp.transpose(dw, (3, 0, 1, 2, 4))

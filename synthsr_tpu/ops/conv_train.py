@@ -35,7 +35,8 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from .conv_pallas import (_plane_layout, _wgrad_layout, conv3d_cf,
+from .conv_pallas import (_flat_layout, _plane_layout, _wgrad_flat_layout,
+                          _wgrad_layout, conv3d_cf, conv3d_cf_flat,
                           conv3d_cf_grouped, conv3d_cf_planes,
                           conv3d_cf_wgrad, split_group_for)
 
@@ -50,6 +51,8 @@ def train_conv_ok(cin, cout, spatial):
         return True
     if (w % 128 == 0 and d % 4 == 0
             and split_group_for(cin, cout, d, h, w) is not None):
+        return True
+    if _flat_layout(cin, cout, d, h, w) is not None:
         return True
     return _dot_conv_ok(cin, cout, spatial)
 
@@ -138,9 +141,13 @@ def _apply_fused(sources, w, b, activation, interpret):
             and d % 2 == 0:
         y = conv3d_cf(sources[0], w.astype(dt), bias=b,
                       activation=activation, interpret=interpret)
-    elif _dot_conv_ok(cin, cout, (d, h, wd)):
+    elif _dot_conv_ok(cin, cout, (d, h, wd)):  # explicit opt-in overrides
         x = jnp.concatenate(sources, 0) if len(sources) > 1 else sources[0]
         y = _conv_dot(x, w, b, activation)
+    elif _flat_layout(cin, cout, d, h, wd) is not None:
+        # narrow-width folded-plane kernel (the 64/32-cubed levels)
+        y = conv3d_cf_flat(x1, w.astype(dt), bias=b, activation=activation,
+                           interpret=interpret)
     else:
         # channels-first XLA fallback (shapes the kernels don't cover —
         # mid-level 64-cubed training shapes; XLA lays out as it pleases)
@@ -238,7 +245,9 @@ def _conv_train_bwd(activation, interpret, res, dy):
     # takes every qualifying shape; _weight_grad's one-dot XLA form covers
     # the rest (mid-level volumes, CPU).
     def wgrad(s):
-        if _wgrad_layout(s.shape[0], dpre.shape[0], *s.shape[1:]) is not None:
+        args = (s.shape[0], dpre.shape[0]) + tuple(s.shape[1:])
+        if _wgrad_layout(*args) is not None \
+                or _wgrad_flat_layout(*args) is not None:
             return conv3d_cf_wgrad(s, dpre, interpret=interpret)
         return _weight_grad(s, dpre)
 

@@ -344,3 +344,56 @@ def test_integrate_vec_stencil_matches_gather(rng):
     a = np.asarray(interp.integrate_vec(vec, nb_steps=7))
     b = np.asarray(interp.integrate_vec(vec, nb_steps=7, max_displacement=8.0))
     np.testing.assert_allclose(a, b, atol=2e-4)
+
+
+def test_flat_plane_conv_matches_xla(rng):
+    """conv3d_cf_flat (folded narrow-width planes, the 64/32-cubed training
+    levels) vs lax.conv — single and multi-source, bias+elu fused."""
+    import jax
+
+    from synthsr_tpu.ops.conv_pallas import _flat_layout, conv3d_cf_flat
+
+    for cins, co, d, h, w in (((24,), 48, 8, 64, 64),
+                              ((48, 96), 96, 8, 32, 32),
+                              ((5,), 7, 8, 16, 64)):
+        ci = sum(cins)
+        assert _flat_layout(ci, co, d, h, w) is not None
+        srcs = [jnp.asarray(rng.normal(size=(c, d, h, w)).astype(np.float32))
+                for c in cins]
+        wk = jnp.asarray(
+            rng.normal(size=(3, 3, 3, ci, co)).astype(np.float32)) * 0.2
+        b = jnp.asarray(rng.normal(size=(co,)).astype(np.float32))
+        got = conv3d_cf_flat(srcs if len(srcs) > 1 else srcs[0], wk, bias=b,
+                             activation="elu", interpret=True)
+        x = jnp.concatenate(srcs, 0)
+        ref = jax.lax.conv_general_dilated(
+            x[None], wk, (1, 1, 1), "SAME",
+            dimension_numbers=("NCDHW", "DHWIO", "NCDHW"))[0] \
+            + b.reshape(-1, 1, 1, 1)
+        ref = jax.nn.elu(ref)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-4, rtol=1e-5)
+
+
+def test_wgrad_kernel_matches_autodiff(rng):
+    """conv3d_cf_wgrad (plane-streaming weight gradient) vs jax.grad of
+    lax.conv."""
+    import jax
+
+    from synthsr_tpu.ops.conv_pallas import _wgrad_layout, conv3d_cf_wgrad
+
+    for ci, co, d, h, w in ((4, 8, 8, 16, 128), (24, 8, 8, 16, 128)):
+        assert _wgrad_layout(ci, co, d, h, w) is not None
+        x = jnp.asarray(rng.normal(size=(ci, d, h, w)).astype(np.float32))
+        g = jnp.asarray(rng.normal(size=(co, d, h, w)).astype(np.float32))
+        got = conv3d_cf_wgrad(x, g, interpret=True)
+
+        def loss(wk):
+            y = jax.lax.conv_general_dilated(
+                x[None], wk, (1, 1, 1), "SAME",
+                dimension_numbers=("NCDHW", "DHWIO", "NCDHW"))[0]
+            return jnp.sum(y * g)
+
+        ref = jax.grad(loss)(jnp.zeros((3, 3, 3, ci, co), jnp.float32))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-5, atol=1e-3)

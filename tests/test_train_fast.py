@@ -164,7 +164,9 @@ def test_dot_conv_matches_xla_and_grads():
     dy = jnp.asarray(rng.normal(size=ref.shape).astype(np.float32))
 
     def loss_fast(x, w, b):
-        return jnp.sum(conv3d_cf_train((x,), w, b, "elu") * dy)
+        # interpret=True: the backward's wgrad kernel qualifies at this
+        # shape and must run in interpret mode on the CPU test backend
+        return jnp.sum(conv3d_cf_train((x,), w, b, "elu", True) * dy)
 
     def loss_ref(x, w, b):
         y = jax.lax.conv_general_dilated(
