@@ -16,7 +16,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..ops.conv_pallas import (_plane_layout, conv3d_cf, conv3d_cf_grouped,
+from ..ops.conv_pallas import (_flat_layout, _plane_layout, conv3d_cf,
+                               conv3d_cf_flat, conv3d_cf_grouped,
                                conv3d_cf_planes, split_group_for)
 from .unet import UNet3D, _activation, upsample_nearest
 
@@ -73,6 +74,13 @@ def _conv_cf(p, x, interpret=False, activation=None, post=None, head=None):
             split_group_for(cin, cout, d, h, wdim) is not None:
         y = conv3d_cf_grouped(x, kern, bias=p["bias"], activation=activation,
                               post=post, head=head, interpret=interpret)
+    elif _flat_layout(cin, cout, d, h, wdim) is not None:
+        # narrow-width folded-plane kernel (the 64/32-cubed levels of a
+        # 256-cubed predict); BN affine fused in the epilogue
+        assert head is None, "head folding requires a plane-kernel path"
+        y = conv3d_cf_flat(x, kern.astype(x.dtype), bias=p["bias"],
+                           activation=activation, post=post,
+                           interpret=interpret)
     elif cin <= 48:
         assert head is None, "head folding requires a plane-kernel path"
         y = conv3d_cf(x, kern.astype(x.dtype), bias=p["bias"],
@@ -117,6 +125,8 @@ def _pallas_ok(cin, cout, spatial):
         return True
     if w % 128 == 0 and d % 4 == 0 and \
             split_group_for(cin, cout, d, h, w) is not None:
+        return True
+    if _flat_layout(cin, cout, d, h, w) is not None:
         return True
     return (cin <= 96 and w >= 128 and h % 16 == 0
             and cin * w <= 96 * 256)
@@ -221,6 +231,14 @@ def fast_unet_forward(model: UNet3D, variables, x, interpret=False,
                 y = conv3d_cf_grouped(srcs, p0["kernel"], bias=p0["bias"],
                                       activation=fused_act,
                                       interpret=interpret)
+                y = jax.lax.optimization_barrier(y)
+                xx = y if fused_act else act(y)
+                conv_start = 1
+            elif _flat_layout(cin_tot, cout0, d0, h0_, w0) is not None:
+                # folded-plane multi-source: the 64/32-cubed decoder concats
+                srcs = [jax.lax.optimization_barrier(s) for s in srcs]
+                y = conv3d_cf_flat(srcs, p0["kernel"], bias=p0["bias"],
+                                   activation=fused_act, interpret=interpret)
                 y = jax.lax.optimization_barrier(y)
                 xx = y if fused_act else act(y)
                 conv_start = 1

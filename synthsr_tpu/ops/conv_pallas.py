@@ -1258,7 +1258,7 @@ def _flat_layout(cin, cout, d, h, w, dtype_bytes=2):
 
 
 def _flat_kernel(*refs, cin, cout, d, hq, bh, w, has_bias, activation,
-                 n_streams, n_steps, src_cins):
+                 n_streams, n_steps, src_cins, has_post=False):
     """Input-stationary plane streaming on FLAT folded planes (see
     _flat_layout).  Structure mirrors _plane_kernel: 4 planes per grid step
     with static ring slots, each plane's 9-tap patch matrix built once and
@@ -1269,6 +1269,8 @@ def _flat_kernel(*refs, cin, cout, d, hq, bh, w, has_bias, activation,
     it = iter(refs)
     x_srcs = [next(it) for _ in src_cins]
     w_ref = next(it)
+    post_s = next(it) if has_post else None
+    post_b = next(it) if has_post else None
     out_hbm = next(it)
     slab, patches, acc, obuf, masks = (next(it) for _ in range(5))
     isem, osem = next(it), next(it)
@@ -1319,6 +1321,10 @@ def _flat_kernel(*refs, cin, cout, d, hq, bh, w, has_bias, activation,
             val = jnp.where(val > 0, val, jnp.exp(val) - 1.0)
         elif activation == "relu":
             val = jnp.maximum(val, 0.0)
+        if has_post:
+            # inference BatchNorm folded in: per-channel affine AFTER the
+            # activation (scale/bias arrive pre-shaped (cout, 1, 1))
+            val = val * post_s[:] + post_b[:]
         return val
 
     @pl.when(i == 0)
@@ -1449,7 +1455,7 @@ def _flat_kernel(*refs, cin, cout, d, hq, bh, w, has_bias, activation,
 @functools.partial(jax.jit,
                    static_argnames=("interpret", "activation", "n_streams"))
 def conv3d_cf_flat(x, w, bias=None, activation: str | None = None,
-                   interpret: bool = False, n_streams: int = 2):
+                   interpret: bool = False, n_streams: int = 2, post=None):
     """SAME 3-cubed conv, channels-first, on FLAT folded planes — the narrow-
     width (64/32-cubed) sibling of conv3d_cf_planes.  Same contract; requires
     (H·W) % 128 == 0, H·W >= 1024, 8 <= W <= 127 with 128 % W == 0, and
@@ -1483,14 +1489,22 @@ def conv3d_cf_flat(x, w, bias=None, activation: str | None = None,
     dt = sources[0].dtype
     flat_srcs = [s.reshape(s.shape[0], d, hq, 128) for s in sources]
     n_in_copies = sum(min(nst, c) for c in src_cins)
+    has_post = post is not None
+    extra_ops, extra_specs = [], []
+    if has_post:
+        postf = jnp.asarray(post, jnp.float32)
+        extra_ops = [postf[0].reshape(cout, 1, 1), postf[1].reshape(cout, 1, 1)]
+        extra_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
     out = pl.pallas_call(
         functools.partial(_flat_kernel, cin=cin, cout=cout, d=d, hq=hq,
                           bh=bh, w=wdim, has_bias=has_bias,
                           activation=activation, n_streams=nst,
-                          n_steps=d // 4, src_cins=src_cins),
+                          n_steps=d // 4, src_cins=src_cins,
+                          has_post=has_post),
         grid=(d // 4,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)
-                  for _ in sources] + [pl.BlockSpec(memory_space=pltpu.VMEM)],
+                  for _ in sources] + [pl.BlockSpec(memory_space=pltpu.VMEM)]
+                 + extra_specs,
         out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         out_shape=jax.ShapeDtypeStruct((cout, d, hq, 128), dt),
         scratch_shapes=[
@@ -1505,7 +1519,7 @@ def conv3d_cf_flat(x, w, bias=None, activation: str | None = None,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(*(flat_srcs + [wt.astype(dt)]))
+    )(*(flat_srcs + [wt.astype(dt)] + extra_ops))
     return out.reshape(cout, d, h, wdim)
 
 
