@@ -71,11 +71,18 @@ def _pool_cf(x):
     return r.max(axis=(2, 4, 6))
 
 
-def make_fast_train_apply(model: UNet3D, interpret: bool = False):
+def make_fast_train_apply(model: UNet3D, interpret: bool = False,
+                          bn_axis: str | None = None):
     """Build ``apply(variables, x) -> (out, {"batch_stats": new_stats})`` —
     a drop-in for ``model.apply(variables, x, train=True,
     mutable=["batch_stats"])`` running the Pallas conv family forward AND
-    backward wherever shapes qualify."""
+    backward wherever shapes qualify.
+
+    ``bn_axis``: mesh axis name when running inside a ``shard_map``-ed
+    data-parallel step — BatchNorm batch statistics are ``pmean``-ed over it,
+    so every device normalizes with GLOBAL batch stats, exactly like the
+    auto-sharded jit step (where XLA turns the batch-axis mean into the same
+    cross-device reduction)."""
     assert can_fast_train(model), "model options outside the fast train path"
     nl, ncpl = model.nb_levels, model.nb_conv_per_level
     act_name = model.activation
@@ -126,6 +133,11 @@ def make_fast_train_apply(model: UNet3D, interpret: bool = False):
             xf = cl.astype(jnp.float32)
             mu = jnp.mean(xf, axis=(0, 1, 2, 3))
             mu2 = jnp.mean(jnp.square(xf), axis=(0, 1, 2, 3))
+        if bn_axis is not None:
+            # equal per-device batch shards: pmean of per-shard means IS the
+            # global batch mean
+            mu = jax.lax.pmean(mu, bn_axis)
+            mu2 = jax.lax.pmean(mu2, bn_axis)
         var = jnp.maximum(0.0, mu2 - jnp.square(mu))
         new_stats[name] = {
             "mean": _MOMENTUM * s["mean"] + (1.0 - _MOMENTUM) * mu,

@@ -107,7 +107,7 @@ def make_train_step(model, generate_fn, optimizer, metrics="l1", loss_cropping=1
                     residual_indices=None, use_real_image=False, seg_loss_fn=None,
                     seg_rel_weight=0.25, return_labels_to_loss=False,
                     remat=False, gmm_sampler=None, fast_forward="auto",
-                    advance_key=False):
+                    advance_key=False, data_mesh=None):
     """Build the jitted train step: (state, key, batch) -> (state, loss).
 
     state = (params, batch_stats, opt_state). batch = (labels, means, stds
@@ -136,6 +136,16 @@ def make_train_step(model, generate_fn, optimizer, metrics="l1", loss_cropping=1
     ``(params, batch_stats, opt_state, new_key, loss)`` — the production
     loop then never dispatches a separate split executable per step (a
     measurable per-step host round-trip on remote-tunneled devices).
+
+    ``data_mesh``: the data-parallel mesh (axis name "data").  Without the
+    fast path the step relies on jit auto-sharding (batch arrives sharded,
+    XLA partitions and inserts the gradient psum).  WITH the fast path on a
+    >1-device mesh, the whole step body runs under ``shard_map`` instead:
+    each device executes the per-example Pallas kernels on its local batch
+    shard, BatchNorm stats are pmean-ed inside the net (global batch stats),
+    and gradients/loss are pmean-ed across "data" — same math as the
+    auto-sharded step, same per-example key stream (keys are split for the
+    GLOBAL batch and sliced by device index).
     """
 
     returns_labels = seg_loss_fn is not None
@@ -148,9 +158,15 @@ def make_train_step(model, generate_fn, optimizer, metrics="l1", loss_cropping=1
         and model.compute_dtype == jnp.bfloat16)
     use_fast = use_fast and can_fast_train(model)
 
+    n_dp = 1
+    if data_mesh is not None and "data" in data_mesh.axis_names:
+        n_dp = int(data_mesh.shape["data"])
+    use_dp_fast = use_fast and n_dp > 1
+
     if use_fast:
         fast_apply = make_fast_train_apply(
-            model, interpret=fast_forward == "interpret")
+            model, interpret=fast_forward == "interpret",
+            bn_axis="data" if use_dp_fast else None)
 
         def apply_net(p, bs_, image, drop_key):
             return fast_apply({"params": p, "batch_stats": bs_}, image)
@@ -168,6 +184,18 @@ def make_train_step(model, generate_fn, optimizer, metrics="l1", loss_cropping=1
     elif remat:
         apply_net = jax.checkpoint(apply_net)
 
+    def batch_keys(key, n_local):
+        """Per-example keys with the same stream as the single-jit step:
+        split for the GLOBAL batch; under the shard_map fast path slice this
+        device's contiguous shard (shard_batch lays global example
+        d·n_local+j on device d)."""
+        keys = jax.random.split(key, n_local * n_dp if use_dp_fast
+                                else n_local)
+        if use_dp_fast:
+            idx = jax.lax.axis_index("data")
+            keys = jax.lax.dynamic_slice_in_dim(keys, idx * n_local, n_local)
+        return keys
+
     def step(params, batch_stats, opt_state, key, batch):
         bs = batch[0].shape[0]
         new_key = None
@@ -180,9 +208,9 @@ def make_train_step(model, generate_fn, optimizer, metrics="l1", loss_cropping=1
             key, drop_key = jax.random.split(key)
         if gmm_sampler is not None:
             key, key_gmm = jax.random.split(key)
-            means, stds = jax.vmap(gmm_sampler)(jax.random.split(key_gmm, bs))
+            means, stds = jax.vmap(gmm_sampler)(batch_keys(key_gmm, bs))
             batch = (batch[0], means, stds) + tuple(batch[1:])
-        keys = jax.random.split(key, bs)
+        keys = batch_keys(key, bs)
         args = (keys,) + tuple(batch[:4 if use_real_image else 3])
         gen_out = jax.vmap(generate_fn)(*args)
         if returns_labels:
@@ -204,6 +232,12 @@ def make_train_step(model, generate_fn, optimizer, metrics="l1", loss_cropping=1
             return loss, updates
 
         (loss, updates), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        if use_dp_fast:
+            # equal shards: pmean of per-shard means == global batch mean;
+            # the new batch_stats are already replicated (BN stats pmean-ed
+            # inside the net)
+            grads = jax.lax.pmean(grads, "data")
+            loss = jax.lax.pmean(loss, "data")
         upd, new_opt_state = optimizer.update(grads, opt_state, params)
         new_params = optax.apply_updates(params, upd)
         # on-device non-finite write gate (reference check_numerics analogue,
@@ -217,6 +251,14 @@ def make_train_step(model, generate_fn, optimizer, metrics="l1", loss_cropping=1
             return new_params, new_bs, new_opt_state, new_key, loss
         return new_params, new_bs, new_opt_state, loss
 
+    if use_dp_fast:
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        n_out = 5 if advance_key else 4
+        step = shard_map(step, mesh=data_mesh,
+                         in_specs=(P(), P(), P(), P(), P("data")),
+                         out_specs=(P(),) * n_out, check_vma=False)
     return jax.jit(step, donate_argnums=(0, 1, 2, 3) if advance_key
                    else (0, 1, 2))
 
@@ -479,9 +521,10 @@ def training(labels_dir,
         n_channels=brain_generator.n_channels,
         generation_classes=brain_generator.generation_classes)
 
-    # the channels-first Pallas training forward runs per-example kernels —
-    # single-device only (the DP mesh shards the batch axis; the fast path
-    # would cross shard boundaries), so gate it on n_devices == 1
+    # the channels-first Pallas training forward runs per-example kernels;
+    # on a >1-device mesh make_train_step runs the whole step under
+    # shard_map (per-device kernels on the local batch shard, pmean-ed BN
+    # stats/grads/loss) so the fast path survives data parallelism
     train_step = make_train_step(model, generate_fn, optimizer,
                                  metrics=regression_metric,
                                  loss_cropping=loss_cropping,
@@ -490,9 +533,8 @@ def training(labels_dir,
                                  seg_loss_fn=seg_loss_fn,
                                  seg_rel_weight=relative_weight_segmentation,
                                  remat=remat, gmm_sampler=gmm_sampler,
-                                 fast_forward=(fast_forward if n_devices == 1
-                                               else "off"),
-                                 advance_key=True)
+                                 fast_forward=fast_forward,
+                                 advance_key=True, data_mesh=mesh)
 
     # resume (reference :434-439: epoch parsed from checkpoint filename)
     init_epoch = 0

@@ -136,6 +136,120 @@ def test_make_train_step_fast_forward_wiring():
     _tree_allclose(results["interpret"][0], results["off"][0], atol=1e-6)
 
 
+def test_fast_train_apply_bn_axis_pmean():
+    """bn_axis fast apply under shard_map (2 devices, local batch 1) must
+    reproduce the single-device batch-2 apply exactly — outputs, new
+    batch_stats, loss and parameter gradients: the pmean-ed BN stats ARE the
+    global batch stats.  Shape chosen flat-kernel-qualifying (H*W = 1024) so
+    the Pallas kernels run (interpret) inside the shard_map."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from synthsr_tpu.parallel.mesh import make_data_mesh
+
+    shape = (2, 8, 32, 32, 1)
+    model = UNet3D(nb_features=4, nb_levels=2, nb_conv_per_level=2,
+                   nb_labels=1, activation="elu",
+                   final_pred_activation="linear",
+                   compute_dtype=jnp.float32)
+    variables = dict(model.init(jax.random.PRNGKey(0),
+                                jnp.zeros(shape, jnp.float32)))
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+    t = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+
+    fast = make_fast_train_apply(model, interpret=True)
+    fast_dp = make_fast_train_apply(model, interpret=True, bn_axis="data")
+
+    def body(p, x, t):
+        def loss_fn(p):
+            out, upd = fast_dp({"params": p,
+                                "batch_stats": variables["batch_stats"]}, x)
+            return jnp.mean(jnp.abs(out - t)), (out, upd["batch_stats"])
+
+        (loss, (out, stats)), g = jax.value_and_grad(
+            loss_fn, has_aux=True)(p)
+        return (jax.lax.pmean(loss, "data"), jax.lax.pmean(g, "data"),
+                stats, out)
+
+    mesh = make_data_mesh(2)
+    sh = jax.jit(shard_map(body, mesh=mesh,
+                           in_specs=(P(), P("data"), P("data")),
+                           out_specs=(P(), P(), P(), P("data")),
+                           check_vma=False))
+    loss_dp, g_dp, stats_dp, out_dp = sh(variables["params"], x, t)
+
+    def loss_ref(p):
+        out, upd = fast({"params": p,
+                         "batch_stats": variables["batch_stats"]}, x)
+        return jnp.mean(jnp.abs(out - t)), (out, upd["batch_stats"])
+
+    (loss_r, (out_r, stats_r)), g_r = jax.value_and_grad(
+        loss_ref, has_aux=True)(variables["params"])
+
+    # per-shard mean + pmean reduces in a different f32 order than the joint
+    # batch mean: agreement is ~1e-6 relative, not bit-exact
+    np.testing.assert_allclose(float(loss_dp), float(loss_r), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_dp), np.asarray(out_r),
+                               atol=1e-4, rtol=1e-5)
+    _tree_allclose(g_dp, g_r, atol=1e-4)
+    _tree_allclose(stats_dp, stats_r, atol=1e-5)
+
+
+def test_make_train_step_dp_fast_matches_single_jit():
+    """make_train_step with data_mesh over 4 devices (batch 4, fast path)
+    must equal the meshless single-jit fast step: same loss, same updated
+    params — the per-example key stream is preserved (keys split for the
+    GLOBAL batch, sliced per device) and the BN/grad/loss pmeans reproduce
+    the global-batch math."""
+    from synthsr_tpu.parallel.mesh import make_data_mesh, shard_batch
+    from synthsr_tpu.synth.labels_to_image import (GenerationConfig,
+                                                   build_generator)
+    from synthsr_tpu.train.metrics import doubled_residual_indices
+    from synthsr_tpu.train.training import make_optimizer, make_train_step
+
+    cfg = GenerationConfig(
+        labels_shape=[16, 16, 16], input_channels=[True], output_channel=[0],
+        generation_labels=np.array([0, 2, 4], np.int32), n_neutral_labels=3,
+        atlas_res=[1.0, 1.0, 1.0], output_shape=16, output_div_by_n=4,
+        flipping=True, aff=np.eye(4), randomise_res=False,
+        data_res=np.array([[1.0, 1.0, 2.0]]), downsample=True,
+        build_reliability_maps=True, simulate_registration_error=False)
+    generate_fn = build_generator(cfg)
+    model = UNet3D(nb_features=2, nb_levels=2, nb_conv_per_level=1,
+                   nb_labels=1, compute_dtype=jnp.float32)
+    variables = dict(jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 16, 2))))
+    optimizer = make_optimizer(1e-3)
+
+    rng = np.random.default_rng(5)
+    batch = (rng.integers(0, 2, (4, 16, 16, 16, 1)).astype(np.int32) * 2,
+             rng.uniform(20, 200, (4, 3, 1)).astype(np.float32),
+             rng.uniform(1, 10, (4, 3, 1)).astype(np.float32))
+    key = jax.random.PRNGKey(11)
+    mesh = make_data_mesh(4)
+    results = {}
+    for name, data_mesh in (("single", None), ("dp", mesh)):
+        step = make_train_step(model, generate_fn, optimizer, metrics="l1",
+                               loss_cropping=12,
+                               residual_indices=doubled_residual_indices(
+                                   [0], True),
+                               fast_forward="interpret", data_mesh=data_mesh)
+        p = jax.tree.map(jnp.copy, variables["params"])
+        b = jax.tree.map(jnp.copy, variables["batch_stats"])
+        opt_state = optimizer.init(p)
+        dev_batch = shard_batch(mesh, batch) if data_mesh is not None \
+            else batch
+        p, b, opt_state, loss = step(p, b, opt_state, key, dev_batch)
+        results[name] = (jax.device_get(p), jax.device_get(b), float(loss))
+    # per-shard mean + pmean reduces in a different f32 order than the joint
+    # batch mean: agreement is ~2e-6 relative, not bit-exact
+    np.testing.assert_allclose(results["dp"][2], results["single"][2],
+                               rtol=1e-5)
+    _tree_allclose(results["dp"][0], results["single"][0], atol=1e-5)
+    _tree_allclose(results["dp"][1], results["single"][1], atol=1e-5)
+
+
 def test_dot_conv_matches_xla_and_grads():
     """The im2col-dot conv (_conv_dot, opt-in via SYNTHSR_DOT_CONV=1; kept
     as a recorded negative result) against lax.conv, forward and both
