@@ -119,8 +119,8 @@ def training(labels_dir,
              seed=None,
              compute_dtype="float32",
              n_devices=None,
+             fast_forward="auto",
              log_fn=print):
-    del dropout
 
     # ----- channel plumbing (reference :240-261) -----
     input_channels_l = [bool(c) for c in reformat_to_list(input_channels)]
@@ -173,7 +173,9 @@ def training(labels_dir,
                        conv_size=conv_size, nb_labels=n_output_channels,
                        feat_mult=feat_multiplier,
                        nb_conv_per_level=nb_conv_per_level, activation=activation,
-                       final_pred_activation="linear", compute_dtype=dt)
+                       final_pred_activation="linear",
+                       conv_dropout=float(dropout), compute_dtype=dt)
+    has_dropout = float(dropout) > 0
     n_in = sum(1 for c in input_channels_l if c) * (2 if build_reliability_maps else 1)
     out_shape = brain_generator.model_output_shape
     gen_vars = dict(jax.jit(gen_model.init)(
@@ -265,12 +267,43 @@ def training(labels_dir,
             mask = mask_lut[seg_t[..., 0].astype(jnp.int32)][..., None].astype(jnp.float32)
         return image, target, seg_t, mask
 
-    def _fake(p, bs, image, train):
+    # fast channels-first Pallas generator forwards (same gating as the
+    # supervised loop's make_train_step): the differentiable train apply in
+    # gen_step, the inference forward (running BN stats) for the fake
+    # volumes inside each of the 10-per-G discriminator iterations —
+    # the largest single compute in a D iteration
+    from ..models.unet_cf import fast_unet_forward
+    from ..models.unet_cf_train import can_fast_train, make_fast_train_apply
+
+    use_fast = fast_forward in ("on", "interpret") or (
+        fast_forward == "auto" and jax.default_backend() == "tpu"
+        and dt == jnp.bfloat16)
+    use_fast = use_fast and n_devices == 1 and can_fast_train(gen_model)
+    fast_train_apply = None
+    if use_fast:
+        fast_train_apply = make_fast_train_apply(
+            gen_model, interpret=fast_forward == "interpret")
+
+    def _fake(p, bs, image, train, drop_key=None):
+        v = {"params": p, "batch_stats": bs}
         if train:
-            out, updates = gen_model.apply({"params": p, "batch_stats": bs}, image,
-                                           train=True, mutable=["batch_stats"])
+            if use_fast:
+                out, updates = fast_train_apply(v, image)
+            else:
+                rngs = {"dropout": drop_key} if has_dropout else None
+                out, updates = gen_model.apply(v, image, train=True,
+                                               mutable=["batch_stats"],
+                                               rngs=rngs)
+        elif use_fast:
+            # eval mode: batch-1 inference kernels per example
+            out = jnp.concatenate([
+                fast_unet_forward(gen_model, v, image[i:i + 1],
+                                  interpret=fast_forward == "interpret",
+                                  dtype=dt)
+                for i in range(image.shape[0])])
+            updates = None
         else:
-            out, updates = gen_model.apply({"params": p, "batch_stats": bs}, image), None
+            out, updates = gen_model.apply(v, image), None
         pred, _ = assemble_prediction(out, image,
                                       work_with_residual_channel=residual_indices)
         return pred, updates
@@ -298,10 +331,16 @@ def training(labels_dir,
 
     @jax.jit
     def gen_step(gen_params, gen_bs, disc_params, gen_opt_state, key, batch):
+        # extra split only when the net has dropout: the key stream (and so
+        # every seeded run) is unchanged for the shipped dropout=0 configs
+        drop_key = None
+        if has_dropout:
+            key, drop_key = jax.random.split(key)
         image, target, seg_t, mask = _generate(key, batch)
 
         def loss_fn(p):
-            fake, updates = _fake(p, gen_bs, image, train=True)
+            fake, updates = _fake(p, gen_bs, image, train=True,
+                                  drop_key=drop_key)
             t_c = center_crop(target, loss_cropping)
             f_c = center_crop(fake, loss_cropping)
             l1 = l1_loss(f_c, t_c)

@@ -87,6 +87,33 @@ def test_adversarial_short_run(adv_dataset, tmp_path):
     assert os.path.isfile(os.path.join(model_dir, "logs", "generator_loss.npy"))
 
 
+def test_adversarial_fast_forward_matches_off(adv_dataset, tmp_path):
+    """fast_forward='interpret' (channels-first Pallas generator forwards in
+    both the G step and the D step's fake volumes) must reproduce the 'off'
+    run: same seeded D/G loss curves."""
+    from synthsr_tpu.train.adversarial import training
+
+    lab_dir, img_dir, labels_npy = adv_dataset
+    curves = {}
+    for mode in ("off", "interpret"):
+        out = training(
+            labels_dir=lab_dir, images_dir=img_dir,
+            model_dir=str(tmp_path / f"adv_{mode}"),
+            prior_means=None, prior_stds=None,
+            path_generation_labels=labels_npy,
+            prior_distributions="uniform", batchsize=1, output_channel=None,
+            output_shape=16, randomise_res=True, n_levels=2,
+            unet_feat_count=2, nb_conv_per_level=1,
+            simulate_registration_error=False, loss_cropping=12,
+            epochs=1, steps_per_epoch=2, first_training_ratio=1,
+            training_ratio=1, seed=0, fast_forward=mode, log_fn=lambda s: None)
+        curves[mode] = (out["d_curve"], out["g_curve"])
+    np.testing.assert_allclose(curves["interpret"][0], curves["off"][0],
+                               rtol=1e-5)
+    np.testing.assert_allclose(curves["interpret"][1], curves["off"][1],
+                               rtol=1e-5)
+
+
 def test_adversarial_with_mask(adv_dataset, tmp_path):
     from synthsr_tpu.train.adversarial import training
 
