@@ -1230,28 +1230,27 @@ def _flat_layout(cin, cout, d, h, w, dtype_bytes=2):
     Folds each (H, W) plane into (hq = H·W/128, 128) rows — a pure row-major
     reinterpretation — so the 128-lane constraint moves from W to H·W.  The
     9 (dy, dx) taps become static slices at flat offsets (dy−1)·W + (dx−1)
-    of a zero-bordered flat view, plus two per-lane masks that zero the
-    W-boundary wrap of the dx = 0/2 taps.  This is what makes the 64- and
-    32-cubed U-Net levels (whose W < 128 disqualifies the v6 kernel, and
-    whose 24..144 channels leave XLA's channels-last conv at 7-13 TFLOP/s)
+    of a row band with rb = ceil((W+1)/128) zero-borderable rows each side,
+    plus two full-plane (hq, 128) masks — statically sliced per chunk — that
+    zero the W-boundary wrap of the dx = 0/2 taps.  This is what makes both
+    the 64/32-cubed U-Net levels AND every pad-to-32 clinical volume size
+    (96, 160, 192, 224, ... — whose W disqualifies the v6 kernel and whose
+    channels leave XLA's channels-last conv at 7-13 TFLOP/s)
     kernel-eligible."""
     el = h * w
-    if el % 128 != 0 or el < 1024 or d % 4 != 0 or not (8 <= w <= 127):
+    # w <= 1023: the slab's 8 zero-border rows bound rb = ceil((w+1)/128)
+    if el % 128 != 0 or el < 1024 or d % 4 != 0 or not (8 <= w <= 1023):
         return None
-    if 128 % w != 0:
-        return None          # masks must repeat within every 128-lane row
     if cin * el > 24 * 256 * 256:      # Mosaic compile cap (see _plane_layout)
         return None
     hq = el // 128
-    bh = min(8, hq)
-    if hq % bh:
-        return None
+    bh = max(b for b in range(1, 9) if hq % b == 0)
     krows = _pad8(9 * cin + 1)
     need = (4 * cin * (hq + 16) * 128 * dtype_bytes   # slab slots
             + krows * bh * 128 * dtype_bytes          # patches
             + 4 * cout * hq * 128 * 4                 # f32 acc ring
             + 2 * cout * hq * 128 * dtype_bytes       # out planes x2
-            + 2 * bh * 128 * dtype_bytes)             # wrap masks
+            + 2 * hq * 128 * dtype_bytes)             # wrap masks
     if need > 90 * 2 ** 20:
         return None
     return hq, bh, need
@@ -1277,6 +1276,7 @@ def _flat_kernel(*refs, cin, cout, d, hq, bh, w, has_bias, activation,
     i = pl.program_id(0)
     el = hq * 128
     bl = bh * 128
+    rb = (w + 1 + 127) // 128  # border rows a ±(w+1) tap offset can reach
 
     class _group:
         def __init__(self, copies):
@@ -1335,16 +1335,16 @@ def _flat_kernel(*refs, cin, cout, d, hq, bh, w, has_bias, activation,
             (patches.shape[0] - 9 * cin, bl), patches.dtype)
         if has_bias:
             patches[9 * cin, :] = jnp.ones((bl,), patches.dtype)
-        # W-boundary wrap masks: flat lane j is output (h, w) = divmod(j, W);
-        # the dx = 0 tap is invalid at w = 0, the dx = 2 tap at w = W-1 (the
-        # flat shift would pull the neighbouring row's value there).  The
-        # pattern repeats every W lanes and every chunk starts W-aligned
-        # (chunks are 128-lane rows, 128 % W == 0), so one bh-row mask
-        # serves every chunk.
-        lane = jax.lax.broadcasted_iota(jnp.int32, (2, bl), 1)
-        wpos = jax.lax.rem(lane, w)
-        masks[0:1, :] = (wpos[0:1] != 0).astype(masks.dtype)
-        masks[1:2, :] = (wpos[1:2] != (w - 1)).astype(masks.dtype)
+        # W-boundary wrap masks: flat position p is output (h, w) =
+        # divmod(p, W); the dx = 0 tap is invalid at w = 0, the dx = 2 tap
+        # at w = W-1 (the flat shift would pull the neighbouring row's value
+        # there).  Full-plane (hq, 128) masks, statically sliced per chunk —
+        # no alignment assumption between the 128-lane rows and W.
+        row = jax.lax.broadcasted_iota(jnp.int32, (hq, 128), 0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (hq, 128), 1)
+        wpos = jax.lax.rem(row * 128 + lane, w)
+        masks[0] = (wpos != 0).astype(masks.dtype)
+        masks[1] = (wpos != (w - 1)).astype(masks.dtype)
         for s in range(min(4, d)):
             in_dma(s, s).start()
 
@@ -1372,19 +1372,22 @@ def _flat_kernel(*refs, cin, cout, d, hq, bh, w, has_bias, activation,
 
             def chunk(c_idx):
                 r0 = c_idx * bh
-                # row band r0-1 .. r0+bh (plane rows start at slab row 8):
-                # its flat view puts output-chunk flat position c0 = r0·128
-                # at local offset 128, with valid data 128 lanes either side
-                v = slab[k, :, 7 + r0:7 + r0 + bh + 2, :] \
-                    .reshape(cin, (bh + 2) * 128)
+                # row band r0-rb .. r0+bh+rb (plane rows start at slab row
+                # 8): its flat view puts output-chunk flat position c0 =
+                # r0·128 at local offset rb·128, with valid data rb·128
+                # lanes either side — enough for any |delta| <= w+1
+                v = slab[k, :, 8 - rb + r0:8 + r0 + bh + rb, :] \
+                    .reshape(cin, (bh + 2 * rb) * 128)
+                m0 = masks[0, pl.ds(r0, bh), :].reshape(1, bl)
+                m1 = masks[1, pl.ds(r0, bh), :].reshape(1, bl)
                 for dy in range(3):
                     for dx in range(3):
                         delta = (dy - 1) * w + (dx - 1)
-                        u = v[:, 128 + delta:128 + delta + bl]
+                        u = v[:, rb * 128 + delta:rb * 128 + delta + bl]
                         if dx == 0:
-                            u = u * masks[0:1, :]
+                            u = u * m0
                         elif dx == 2:
-                            u = u * masks[1:2, :]
+                            u = u * m1
                         patches[(dy * 3 + dx) * cin:
                                 (dy * 3 + dx + 1) * cin, :] = u
                 c = jax.lax.dot_general(
@@ -1456,12 +1459,13 @@ def _flat_kernel(*refs, cin, cout, d, hq, bh, w, has_bias, activation,
                    static_argnames=("interpret", "activation", "n_streams"))
 def conv3d_cf_flat(x, w, bias=None, activation: str | None = None,
                    interpret: bool = False, n_streams: int = 2, post=None):
-    """SAME 3-cubed conv, channels-first, on FLAT folded planes — the narrow-
-    width (64/32-cubed) sibling of conv3d_cf_planes.  Same contract; requires
-    (H·W) % 128 == 0, H·W >= 1024, 8 <= W <= 127 with 128 % W == 0, and
-    D % 4 == 0 (_flat_layout gates).  ``x`` may be a list of (C_i, D, H, W)
-    sources conceptually concatenated along C (multi-source DMA at channel
-    offsets, the concat never in HBM)."""
+    """SAME 3-cubed conv, channels-first, on FLAT folded planes — the
+    arbitrary-width sibling of conv3d_cf_planes (64/32-cubed U-Net levels
+    AND the pad-to-32 clinical sizes 96/160/192/224...).  Same contract;
+    requires (H·W) % 128 == 0, H·W >= 1024, 8 <= W <= 1023, and D % 4 == 0
+    (_flat_layout gates).  ``x`` may be a list of (C_i, D, H, W) sources
+    conceptually concatenated along C (multi-source DMA at channel offsets,
+    the concat never in HBM)."""
     sources = list(x) if isinstance(x, (list, tuple)) else [x]
     src_cins = tuple(s.shape[0] for s in sources)
     cin = sum(src_cins)
@@ -1512,7 +1516,7 @@ def conv3d_cf_flat(x, w, bias=None, activation: str | None = None,
             pltpu.VMEM((krows, bh * 128), dt),
             pltpu.VMEM((4, cout, hq, 128), jnp.float32),
             pltpu.VMEM((2, cout, hq, 128), dt),
-            pltpu.VMEM((2, bh * 128), dt),
+            pltpu.VMEM((2, hq, 128), dt),
             pltpu.SemaphoreType.DMA((4, n_in_copies)),
             pltpu.SemaphoreType.DMA((2, max(1, min(nst, cout)))),
         ],
@@ -1526,22 +1530,18 @@ def conv3d_cf_flat(x, w, bias=None, activation: str | None = None,
 def _wgrad_flat_layout(cin, cout, d, h, w, dtype_bytes=2):
     """(hq, bh, vmem_bytes) for the folded-plane wgrad kernel, or None."""
     el = h * w
-    if el % 128 != 0 or el < 1024 or d % 4 != 0 or not (8 <= w <= 127):
-        return None
-    if 128 % w != 0:
+    if el % 128 != 0 or el < 1024 or d % 4 != 0 or not (8 <= w <= 1023):
         return None
     if cin * el > 24 * 256 * 256:
         return None
     hq = el // 128
-    bh = min(8, hq)
-    if hq % bh:
-        return None
+    bh = max(b for b in range(1, 9) if hq % b == 0)
     krows = _pad8(9 * cin)
     need = (2 * cin * (hq + 16) * 128 * dtype_bytes   # x slab slots
             + 4 * cout * hq * 128 * dtype_bytes       # cotangent ring
             + krows * bh * 128 * dtype_bytes          # patches
             + 3 * cout * bh * 128 * dtype_bytes       # z-stacked rhs
-            + 2 * bh * 128 * dtype_bytes              # wrap masks
+            + 2 * hq * 128 * dtype_bytes              # wrap masks
             + krows * max(3 * cout, 128) * 4)         # out accumulator
     if need > 90 * 2 ** 20:
         return None
@@ -1558,6 +1558,7 @@ def _wgrad_flat_kernel(x_hbm, g_hbm, out, slab, gring, patches, dbuf, masks,
     into the VMEM-resident (krows, 3·cout) f32 output block."""
     i = pl.program_id(0)
     bl = bh * 128
+    rb = (w + 1 + 127) // 128  # border rows a ±(w+1) tap offset can reach
 
     class _group:
         def __init__(self, copies):
@@ -1600,10 +1601,11 @@ def _wgrad_flat_kernel(x_hbm, g_hbm, out, slab, gring, patches, dbuf, masks,
             patches[9 * cin:, :] = jnp.zeros(
                 (krows - 9 * cin, bl), patches.dtype)
         out[...] = jnp.zeros(out.shape, out.dtype)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (2, bl), 1)
-        wpos = jax.lax.rem(lane, w)
-        masks[0:1, :] = (wpos[0:1] != 0).astype(masks.dtype)
-        masks[1:2, :] = (wpos[1:2] != (w - 1)).astype(masks.dtype)
+        row = jax.lax.broadcasted_iota(jnp.int32, (hq, 128), 0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (hq, 128), 1)
+        wpos = jax.lax.rem(row * 128 + lane, w)
+        masks[0] = (wpos != 0).astype(masks.dtype)
+        masks[1] = (wpos != (w - 1)).astype(masks.dtype)
         x_dma(0, 0).start()
         x_dma(1, 1).start()
         for q in range(3):
@@ -1626,16 +1628,18 @@ def _wgrad_flat_kernel(x_hbm, g_hbm, out, slab, gring, patches, dbuf, masks,
 
             for c_idx in range(n_chunks):
                 r0 = c_idx * bh
-                v = slab[s, :, 7 + r0:7 + r0 + bh + 2, :] \
-                    .reshape(cin, (bh + 2) * 128)
+                v = slab[s, :, 8 - rb + r0:8 + r0 + bh + rb, :] \
+                    .reshape(cin, (bh + 2 * rb) * 128)
+                m0 = masks[0, pl.ds(r0, bh), :].reshape(1, bl)
+                m1 = masks[1, pl.ds(r0, bh), :].reshape(1, bl)
                 for dy in range(3):
                     for dx in range(3):
                         delta = (dy - 1) * w + (dx - 1)
-                        u = v[:, 128 + delta:128 + delta + bl]
+                        u = v[:, rb * 128 + delta:rb * 128 + delta + bl]
                         if dx == 0:
-                            u = u * masks[0:1, :]
+                            u = u * m0
                         elif dx == 2:
-                            u = u * masks[1:2, :]
+                            u = u * m1
                         patches[(dy * 3 + dx) * cin:
                                 (dy * 3 + dx + 1) * cin, :] = u
                 rs = pl.ds(r0, bh)
@@ -1686,7 +1690,7 @@ def _wgrad_flat_call(x, g, layout, interpret, n_streams):
             pltpu.VMEM((4, co, hq, 128), x.dtype),
             pltpu.VMEM((krows, bh * 128), x.dtype),
             pltpu.VMEM((3 * co, bh * 128), x.dtype),
-            pltpu.VMEM((2, bh * 128), x.dtype),
+            pltpu.VMEM((2, hq, 128), x.dtype),
             pltpu.SemaphoreType.DMA((2, nsx)),
             pltpu.SemaphoreType.DMA((4, nsg)),
         ],

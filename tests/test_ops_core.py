@@ -353,9 +353,15 @@ def test_flat_plane_conv_matches_xla(rng):
 
     from synthsr_tpu.ops.conv_pallas import _flat_layout, conv3d_cf_flat
 
+    # the last two rows pin the arbitrary-width generalization: W = 96
+    # (chunk rows NOT W-aligned: full-plane wrap masks) and W = 160 (tap
+    # offsets beyond one 128-lane row: rb = 2 border rows) — the pad-to-32
+    # clinical sizes the 128-multiple kernels can't take
     for cins, co, d, h, w in (((24,), 48, 8, 64, 64),
                               ((48, 96), 96, 8, 32, 32),
-                              ((5,), 7, 8, 16, 64)):
+                              ((5,), 7, 8, 16, 64),
+                              ((24,), 16, 8, 16, 96),
+                              ((8,), 8, 8, 8, 160)):
         ci = sum(cins)
         assert _flat_layout(ci, co, d, h, w) is not None
         srcs = [jnp.asarray(rng.normal(size=(c, d, h, w)).astype(np.float32))
@@ -373,6 +379,32 @@ def test_flat_plane_conv_matches_xla(rng):
         ref = jax.nn.elu(ref)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    atol=1e-4, rtol=1e-5)
+
+
+def test_wgrad_flat_kernel_arbitrary_width(rng):
+    """The folded-plane wgrad at the arbitrary widths (W = 96: unaligned
+    wrap masks; W = 160: rb = 2 border rows) vs jax.grad of lax.conv."""
+    import jax
+
+    from synthsr_tpu.ops.conv_pallas import (_wgrad_flat_layout,
+                                             _wgrad_layout, conv3d_cf_wgrad)
+
+    for ci, co, d, h, w in ((6, 4, 8, 16, 96), (4, 4, 8, 8, 160)):
+        assert _wgrad_layout(ci, co, d, h, w) is None
+        assert _wgrad_flat_layout(ci, co, d, h, w) is not None
+        x = jnp.asarray(rng.normal(size=(ci, d, h, w)).astype(np.float32))
+        g = jnp.asarray(rng.normal(size=(co, d, h, w)).astype(np.float32))
+        got = conv3d_cf_wgrad(x, g, interpret=True)
+
+        def loss(wk):
+            y = jax.lax.conv_general_dilated(
+                x[None], wk, (1, 1, 1), "SAME",
+                dimension_numbers=("NCDHW", "DHWIO", "NCDHW"))[0]
+            return jnp.sum(y * g)
+
+        ref = jax.grad(loss)(jnp.zeros((3, 3, 3, ci, co), jnp.float32))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-5, atol=1e-3)
 
 
 def test_wgrad_kernel_matches_autodiff(rng):
