@@ -17,8 +17,9 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.conv_pallas import (_flat_layout, _plane_layout, conv3d_cf,
-                               conv3d_cf_flat, conv3d_cf_grouped,
-                               conv3d_cf_planes, split_group_for)
+                               conv3d_cf_flat, conv3d_cf_flat_grouped,
+                               conv3d_cf_grouped, conv3d_cf_planes,
+                               split_flat_group_for, split_group_for)
 from .unet import UNet3D, _activation, upsample_nearest
 
 
@@ -75,12 +76,20 @@ def _conv_cf(p, x, interpret=False, activation=None, post=None, head=None):
         y = conv3d_cf_grouped(x, kern, bias=p["bias"], activation=activation,
                               post=post, head=head, interpret=interpret)
     elif _flat_layout(cin, cout, d, h, wdim) is not None:
-        # narrow-width folded-plane kernel (the 64/32-cubed levels of a
-        # 256-cubed predict); BN affine fused in the epilogue
+        # folded-plane kernel (the 64/32-cubed levels of a 256-cubed
+        # predict, and any pad-to-32 width); BN affine fused in the epilogue
         assert head is None, "head folding requires a plane-kernel path"
         y = conv3d_cf_flat(x, kern.astype(x.dtype), bias=p["bias"],
                            activation=activation, post=post,
                            interpret=interpret)
+    elif split_flat_group_for(cin, cout, d, h, wdim) is not None:
+        # channel-grouped folded-plane chaining: big-cin decoder convs at
+        # non-128-multiple widths (the blocked kernel measured 62 vs XLA's
+        # 35 ms on the 72ch conv at 160-cubed; flat groups beat both)
+        assert head is None, "head folding requires a plane-kernel path"
+        y = conv3d_cf_flat_grouped(x, kern, bias=p["bias"],
+                                   activation=activation, post=post,
+                                   interpret=interpret)
     elif cin <= 48:
         assert head is None, "head folding requires a plane-kernel path"
         y = conv3d_cf(x, kern.astype(x.dtype), bias=p["bias"],
@@ -117,9 +126,12 @@ def _conv_cl(p, x):
 
 def _pallas_ok(cin, cout, spatial):
     # direct plane-streaming layout, or a channel-group split onto one
-    # (covers the 72ch/144ch decoder concats); else the blocked kernel:
-    # W >= 128 for lane efficiency, H divisible by the block, VMEM-bounded
-    # patch matrix (9*cin x block_h x W in bf16 must stay well under VMEM)
+    # (covers the 72ch/144ch decoder concats), or the folded-plane kernel /
+    # its channel-group split (arbitrary pad-to-32 widths); else the blocked
+    # kernel — 128-MULTIPLE widths only (at w=160 its strided halo re-reads
+    # measured 62 ms vs XLA's 35 on the 72ch decoder conv; at w%128==0 it
+    # remains the only kernel for shapes past the other layouts' caps):
+    # H divisible by the block, VMEM-bounded patch matrix
     d, h, w = spatial
     if _plane_layout(cin, cout, d, h, w) is not None:
         return True
@@ -128,7 +140,9 @@ def _pallas_ok(cin, cout, spatial):
         return True
     if _flat_layout(cin, cout, d, h, w) is not None:
         return True
-    return (cin <= 96 and w >= 128 and h % 16 == 0
+    if split_flat_group_for(cin, cout, d, h, w) is not None:
+        return True
+    return (cin <= 96 and w % 128 == 0 and h % 16 == 0
             and cin * w <= 96 * 256)
 
 
@@ -234,11 +248,20 @@ def fast_unet_forward(model: UNet3D, variables, x, interpret=False,
                 y = jax.lax.optimization_barrier(y)
                 xx = y if fused_act else act(y)
                 conv_start = 1
-            elif _flat_layout(cin_tot, cout0, d0, h0_, w0) is not None:
+            elif (_flat_layout(cin_tot, cout0, d0, h0_, w0) is not None
+                  or all(_flat_layout(s.shape[0], cout0, d0, h0_, w0,
+                                      with_accum=True) is not None
+                         or split_flat_group_for(s.shape[0], cout0,
+                                                 d0, h0_, w0) is not None
+                         for s in srcs)):
                 # folded-plane multi-source: the 64/32-cubed decoder concats
+                # and, channel-grouped, the big-cin decoder convs of the
+                # non-128-multiple clinical sizes (160/192/224-cubed)
                 srcs = [jax.lax.optimization_barrier(s) for s in srcs]
-                y = conv3d_cf_flat(srcs, p0["kernel"], bias=p0["bias"],
-                                   activation=fused_act, interpret=interpret)
+                y = conv3d_cf_flat_grouped(srcs, p0["kernel"],
+                                           bias=p0["bias"],
+                                           activation=fused_act,
+                                           interpret=interpret)
                 y = jax.lax.optimization_barrier(y)
                 xx = y if fused_act else act(y)
                 conv_start = 1

@@ -1224,7 +1224,7 @@ def conv3d_cf_wgrad(x, g, interpret: bool = False, n_streams: int = 3):
 # flat-plane kernel: folded (H, W) planes for narrow widths (64/32-cubed)
 # ---------------------------------------------------------------------------
 
-def _flat_layout(cin, cout, d, h, w, dtype_bytes=2):
+def _flat_layout(cin, cout, d, h, w, dtype_bytes=2, with_accum=False):
     """(hq, bh, vmem_bytes) for the flat-plane kernel, or None.
 
     Folds each (H, W) plane into (hq = H·W/128, 128) rows — a pure row-major
@@ -1238,41 +1238,52 @@ def _flat_layout(cin, cout, d, h, w, dtype_bytes=2):
     channels leave XLA's channels-last conv at 7-13 TFLOP/s)
     kernel-eligible."""
     el = h * w
-    # w <= 1023: the slab's 8 zero-border rows bound rb = ceil((w+1)/128)
-    if el % 128 != 0 or el < 1024 or d % 4 != 0 or not (8 <= w <= 1023):
+    # w <= 1023: the slab's 8 zero-border rows bound rb = ceil((w+1)/128);
+    # el % 1024: plane DMAs land hq rows per copy and Mosaic requires
+    # DMA slice rows in multiples of 8 (hq = el/128 must be 8-aligned)
+    if el % 1024 != 0 or el < 1024 or d % 4 != 0 or not (8 <= w <= 1023):
         return None
     if cin * el > 24 * 256 * 256:      # Mosaic compile cap (see _plane_layout)
         return None
     hq = el // 128
-    bh = max(b for b in range(1, 9) if hq % b == 0)
+    bh = 8
     krows = _pad8(9 * cin + 1)
     need = (4 * cin * (hq + 16) * 128 * dtype_bytes   # slab slots
             + krows * bh * 128 * dtype_bytes          # patches
             + 4 * cout * hq * 128 * 4                 # f32 acc ring
             + 2 * cout * hq * 128 * dtype_bytes       # out planes x2
             + 2 * hq * 128 * dtype_bytes)             # wrap masks
+    if with_accum:
+        need += 4 * cout * hq * 128 * dtype_bytes     # chained-partial ring
     if need > 90 * 2 ** 20:
         return None
     return hq, bh, need
 
 
 def _flat_kernel(*refs, cin, cout, d, hq, bh, w, has_bias, activation,
-                 n_streams, n_steps, src_cins, has_post=False):
+                 n_streams, n_steps, src_cins, has_post=False,
+                 has_accum=False):
     """Input-stationary plane streaming on FLAT folded planes (see
     _flat_layout).  Structure mirrors _plane_kernel: 4 planes per grid step
     with static ring slots, each plane's 9-tap patch matrix built once and
     hit with one 3-z-stacked dot, 4 rolling f32 plane accumulators, output
     plane z = p−1 completing with plane p's dz=2 contribution.  The taps are
-    misaligned flat-lane slices of a (cin, (bh+2)·128) row-band value whose
-    W-boundary wraps are zeroed by precomputed lane masks."""
+    misaligned flat-lane slices of a (cin, (bh+2·rb)·128) row-band value
+    whose W-boundary wraps are zeroed by precomputed lane masks.
+    ``has_accum``: chained partial-conv input (channel grouping) streaming
+    through a 4-slot ring, seeding the dz=0 accumulator writes — exactly the
+    _plane_kernel scheme."""
     it = iter(refs)
     x_srcs = [next(it) for _ in src_cins]
     w_ref = next(it)
+    acc_hbm = next(it) if has_accum else None
     post_s = next(it) if has_post else None
     post_b = next(it) if has_post else None
     out_hbm = next(it)
     slab, patches, acc, obuf, masks = (next(it) for _ in range(5))
+    abuf = next(it) if has_accum else None
     isem, osem = next(it), next(it)
+    asem = next(it) if has_accum else None
     i = pl.program_id(0)
     el = hq * 128
     bl = bh * 128
@@ -1316,6 +1327,10 @@ def _flat_kernel(*refs, cin, cout, d, hq, bh, w, has_bias, activation,
             out_hbm.at[pl.ds(st, sz), z],
             osem.at[oslot, j]) for j, (st, sz) in enumerate(_split(cout))])
 
+    def adma(slot, z):
+        return pltpu.make_async_copy(acc_hbm.at[:, z], abuf.at[slot],
+                                     asem.at[slot])
+
     def act(val):
         if activation == "elu":
             val = jnp.where(val > 0, val, jnp.exp(val) - 1.0)
@@ -1347,6 +1362,11 @@ def _flat_kernel(*refs, cin, cout, d, hq, bh, w, has_bias, activation,
         masks[1] = (wpos != (w - 1)).astype(masks.dtype)
         for s in range(min(4, d)):
             in_dma(s, s).start()
+        if has_accum:
+            # accum plane z lives in ring slot z % 4; substep p consumes
+            # z = p+1 (dz=0 seed), plus z = 0 once at p = 0 (dz=1 seed)
+            for z in range(min(4, d)):
+                adma(z, z).start()
 
     krows = patches.shape[0]
     n_chunks = hq // bh
@@ -1357,6 +1377,19 @@ def _flat_kernel(*refs, cin, cout, d, hq, bh, w, has_bias, activation,
 
         def substep(k=k, p=p, z_prev=z_prev):
             in_dma(k, p).wait()
+            if has_accum:
+                # accum plane z = p+1 (seeds dz=0); z = p+1 == d never had a
+                # DMA started, so skip that wait
+                def wait_acc():
+                    adma((k + 1) % 4, 0).wait()
+                if k == 3:
+                    pl.when(i < n_steps - 1)(wait_acc)
+                else:
+                    wait_acc()
+                if k == 0:
+                    @pl.when(i == 0)
+                    def _():
+                        adma(0, 0).wait()  # z = 0, seeds out[0] at dz=1
             o_prev = (k - 1) % 2
 
             def wait_prev():
@@ -1397,15 +1430,25 @@ def _flat_kernel(*refs, cin, cout, d, hq, bh, w, has_bias, activation,
                 rs = pl.ds(r0, bh)
 
                 # dz=0 -> out[p+1]: overwrite (first contribution; p+1 == d
-                # is a dead garbage write into a slot about to be reused)
-                acc[(k + 1) % 4, :, rs, :] = c[0:cout].reshape(cout, bh, 128)
+                # is a dead garbage write into a slot about to be reused),
+                # seeded by the chained partial when present
+                seed0 = c[0:cout].reshape(cout, bh, 128)
+                if has_accum:
+                    seed0 = seed0 + abuf[(k + 1) % 4, :, rs, :] \
+                        .astype(jnp.float32)
+                acc[(k + 1) % 4, :, rs, :] = seed0
 
                 # dz=1 -> out[p]: add; out[0]'s first contribution is this
+                # (+ its partial seed)
                 upd1 = c[cout:2 * cout].reshape(cout, bh, 128)
                 if k == 0:
                     @pl.when(i == 0)
                     def _():
-                        acc[0, :, rs, :] = upd1
+                        seed1 = upd1
+                        if has_accum:
+                            seed1 = seed1 + abuf[0, :, rs, :] \
+                                .astype(jnp.float32)
+                        acc[0, :, rs, :] = seed1
 
                     @pl.when(i > 0)
                     def _():
@@ -1446,6 +1489,14 @@ def _flat_kernel(*refs, cin, cout, d, hq, bh, w, has_bias, activation,
             @pl.when(p + 4 <= d - 1)
             def _():
                 in_dma(k, p + 4).start()
+            if has_accum:
+                @pl.when(p + 5 <= d - 1)
+                def _():
+                    adma((k + 1) % 4, p + 5).start()
+                if k == 0 and d > 4:
+                    @pl.when(i == 0)
+                    def _():
+                        adma(0, 4).start()
 
         substep()
 
@@ -1458,21 +1509,25 @@ def _flat_kernel(*refs, cin, cout, d, hq, bh, w, has_bias, activation,
 @functools.partial(jax.jit,
                    static_argnames=("interpret", "activation", "n_streams"))
 def conv3d_cf_flat(x, w, bias=None, activation: str | None = None,
-                   interpret: bool = False, n_streams: int = 2, post=None):
+                   interpret: bool = False, n_streams: int = 2, post=None,
+                   accum=None):
     """SAME 3-cubed conv, channels-first, on FLAT folded planes — the
     arbitrary-width sibling of conv3d_cf_planes (64/32-cubed U-Net levels
     AND the pad-to-32 clinical sizes 96/160/192/224...).  Same contract;
-    requires (H·W) % 128 == 0, H·W >= 1024, 8 <= W <= 1023, and D % 4 == 0
+    requires (H·W) % 1024 == 0, 8 <= W <= 1023, and D % 4 == 0
     (_flat_layout gates).  ``x`` may be a list of (C_i, D, H, W) sources
     conceptually concatenated along C (multi-source DMA at channel offsets,
-    the concat never in HBM)."""
+    the concat never in HBM).  ``accum``: optional (C_out, D, H, W)
+    partial-conv output added in-kernel (channel-group chaining, see
+    conv3d_cf_flat_grouped)."""
     sources = list(x) if isinstance(x, (list, tuple)) else [x]
     src_cins = tuple(s.shape[0] for s in sources)
     cin = sum(src_cins)
     d, h, wdim = sources[0].shape[1:]
     cout = w.shape[-1]
     assert w.shape[:3] == (3, 3, 3) and w.shape[3] == cin
-    layout = _flat_layout(cin, cout, d, h, wdim)
+    has_accum = accum is not None
+    layout = _flat_layout(cin, cout, d, h, wdim, with_accum=has_accum)
     assert layout is not None, \
         f"shape ({cin},{d},{h},{wdim})->{cout} does not fit the flat kernel"
     hq, bh, _ = layout
@@ -1495,31 +1550,40 @@ def conv3d_cf_flat(x, w, bias=None, activation: str | None = None,
     n_in_copies = sum(min(nst, c) for c in src_cins)
     has_post = post is not None
     extra_ops, extra_specs = [], []
+    if has_accum:
+        extra_ops.append(accum.reshape(cout, d, hq, 128))
+        extra_specs.append(pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM))
     if has_post:
         postf = jnp.asarray(post, jnp.float32)
-        extra_ops = [postf[0].reshape(cout, 1, 1), postf[1].reshape(cout, 1, 1)]
-        extra_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
+        extra_ops += [postf[0].reshape(cout, 1, 1),
+                      postf[1].reshape(cout, 1, 1)]
+        extra_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
+    scratch = [
+        pltpu.VMEM((4, cin, hq + 16, 128), dt),
+        pltpu.VMEM((krows, bh * 128), dt),
+        pltpu.VMEM((4, cout, hq, 128), jnp.float32),
+        pltpu.VMEM((2, cout, hq, 128), dt),
+        pltpu.VMEM((2, hq, 128), dt),
+    ]
+    if has_accum:
+        scratch.append(pltpu.VMEM((4, cout, hq, 128), dt))
+    scratch.append(pltpu.SemaphoreType.DMA((4, n_in_copies)))
+    scratch.append(pltpu.SemaphoreType.DMA((2, max(1, min(nst, cout)))))
+    if has_accum:
+        scratch.append(pltpu.SemaphoreType.DMA((4,)))
     out = pl.pallas_call(
         functools.partial(_flat_kernel, cin=cin, cout=cout, d=d, hq=hq,
                           bh=bh, w=wdim, has_bias=has_bias,
                           activation=activation, n_streams=nst,
                           n_steps=d // 4, src_cins=src_cins,
-                          has_post=has_post),
+                          has_post=has_post, has_accum=has_accum),
         grid=(d // 4,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)
                   for _ in sources] + [pl.BlockSpec(memory_space=pltpu.VMEM)]
                  + extra_specs,
         out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         out_shape=jax.ShapeDtypeStruct((cout, d, hq, 128), dt),
-        scratch_shapes=[
-            pltpu.VMEM((4, cin, hq + 16, 128), dt),
-            pltpu.VMEM((krows, bh * 128), dt),
-            pltpu.VMEM((4, cout, hq, 128), jnp.float32),
-            pltpu.VMEM((2, cout, hq, 128), dt),
-            pltpu.VMEM((2, hq, 128), dt),
-            pltpu.SemaphoreType.DMA((4, n_in_copies)),
-            pltpu.SemaphoreType.DMA((2, max(1, min(nst, cout)))),
-        ],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
@@ -1527,15 +1591,69 @@ def conv3d_cf_flat(x, w, bias=None, activation: str | None = None,
     return out.reshape(cout, d, h, wdim)
 
 
+def split_flat_group_for(cin, cout, d, h, w):
+    """Largest even channel-group size whose FLAT-kernel layout qualifies
+    (None if none does) — the folded-plane twin of split_group_for, for the
+    big-cin decoder convs at non-128-multiple widths (160/192/224-cubed)."""
+    for g in (48, 40, 32, 24, 16, 8):
+        if cin % g == 0 and _flat_layout(g, cout, d, h, w,
+                                         with_accum=True) is not None:
+            return g
+    return None
+
+
+def conv3d_cf_flat_grouped(x, w, bias=None, activation: str | None = None,
+                           interpret: bool = False, post=None):
+    """Big-cin SAME 3-cubed conv on folded planes as chained channel-group
+    partial convs — the flat-kernel twin of conv3d_cf_grouped: conv
+    linearity splits cin into equal groups sharing compiled-once
+    executables, the running partial sum chains through each kernel's
+    ``accum`` ring (never an XLA add), bias/activation/post fuse into the
+    LAST group's epilogue.  Same bf16 partial-roundtrip precision bound as
+    conv3d_cf_grouped (documented there)."""
+    sources = list(x) if isinstance(x, (list, tuple)) else [x]
+    d, h, wdim = sources[0].shape[1:]
+    cout = w.shape[-1]
+    total = sum(s.shape[0] for s in sources)
+    if _flat_layout(total, cout, d, h, wdim) is not None:
+        return conv3d_cf_flat(sources if len(sources) > 1 else sources[0],
+                              w, bias=bias, activation=activation,
+                              post=post, interpret=interpret)
+    pieces = []  # (src_slice, w_slice)
+    off = 0
+    for src in sources:
+        cin = src.shape[0]
+        g = cin if _flat_layout(cin, cout, d, h, wdim,
+                                with_accum=True) is not None \
+            else split_flat_group_for(cin, cout, d, h, wdim)
+        assert g is not None and cin % g == 0, \
+            f"no qualifying flat group size for cin={cin} at {src.shape}"
+        for st in range(0, cin, g):
+            pieces.append((src[st:st + g] if (st, g) != (0, cin) else src,
+                           w[:, :, :, off + st:off + st + g, :]))
+        off += cin
+    assert off == w.shape[3]
+    y = None
+    for idx, (xs, ws) in enumerate(pieces):
+        last = idx == len(pieces) - 1
+        y = conv3d_cf_flat(xs, ws.astype(xs.dtype),
+                           bias=bias if last else None,
+                           activation=activation if last else None,
+                           post=post if last else None,
+                           accum=y, interpret=interpret)
+    return y
+
+
 def _wgrad_flat_layout(cin, cout, d, h, w, dtype_bytes=2):
     """(hq, bh, vmem_bytes) for the folded-plane wgrad kernel, or None."""
     el = h * w
-    if el % 128 != 0 or el < 1024 or d % 4 != 0 or not (8 <= w <= 1023):
+    # el % 1024: DMA slice rows must be 8-aligned (see _flat_layout)
+    if el % 1024 != 0 or el < 1024 or d % 4 != 0 or not (8 <= w <= 1023):
         return None
     if cin * el > 24 * 256 * 256:
         return None
     hq = el // 128
-    bh = max(b for b in range(1, 9) if hq % b == 0)
+    bh = 8
     krows = _pad8(9 * cin)
     need = (2 * cin * (hq + 16) * 128 * dtype_bytes   # x slab slots
             + 4 * cout * hq * 128 * dtype_bytes       # cotangent ring

@@ -37,8 +37,9 @@ import jax.numpy as jnp
 
 from .conv_pallas import (_flat_layout, _plane_layout, _wgrad_flat_layout,
                           _wgrad_layout, conv3d_cf, conv3d_cf_flat,
-                          conv3d_cf_grouped, conv3d_cf_planes,
-                          conv3d_cf_wgrad, split_group_for)
+                          conv3d_cf_flat_grouped, conv3d_cf_grouped,
+                          conv3d_cf_planes, conv3d_cf_wgrad,
+                          split_flat_group_for, split_group_for)
 
 
 def train_conv_ok(cin, cout, spatial):
@@ -53,6 +54,8 @@ def train_conv_ok(cin, cout, spatial):
             and split_group_for(cin, cout, d, h, w) is not None):
         return True
     if _flat_layout(cin, cout, d, h, w) is not None:
+        return True
+    if split_flat_group_for(cin, cout, d, h, w) is not None:
         return True
     return _dot_conv_ok(cin, cout, spatial)
 
@@ -137,17 +140,27 @@ def _apply_fused(sources, w, b, activation, interpret):
             for s in sources):
         y = conv3d_cf_grouped(x1, w, bias=b, activation=activation,
                               interpret=interpret)
-    elif len(sources) == 1 and cin <= 48 and wd >= 128 and h % 16 == 0 \
+    elif len(sources) == 1 and cin <= 48 and wd % 128 == 0 and h % 16 == 0 \
             and d % 2 == 0:
+        # blocked kernel: 128-multiple widths only (its strided halo
+        # re-reads lose to both flat and XLA at w=160, measured)
         y = conv3d_cf(sources[0], w.astype(dt), bias=b,
                       activation=activation, interpret=interpret)
     elif _dot_conv_ok(cin, cout, (d, h, wd)):  # explicit opt-in overrides
         x = jnp.concatenate(sources, 0) if len(sources) > 1 else sources[0]
         y = _conv_dot(x, w, b, activation)
     elif _flat_layout(cin, cout, d, h, wd) is not None:
-        # narrow-width folded-plane kernel (the 64/32-cubed levels)
+        # folded-plane kernel (64/32-cubed levels, pad-to-32 widths)
         y = conv3d_cf_flat(x1, w.astype(dt), bias=b, activation=activation,
                            interpret=interpret)
+    elif all(_flat_layout(s.shape[0], cout, d, h, wd,
+                          with_accum=True) is not None
+             or split_flat_group_for(s.shape[0], cout, d, h, wd) is not None
+             for s in sources):
+        # channel-grouped folded-plane chaining (big-cin decoder convs at
+        # non-128-multiple widths)
+        y = conv3d_cf_flat_grouped(x1, w, bias=b, activation=activation,
+                                   interpret=interpret)
     else:
         # channels-first XLA fallback (shapes the kernels don't cover —
         # mid-level 64-cubed training shapes; XLA lays out as it pleases)

@@ -360,8 +360,8 @@ def test_flat_plane_conv_matches_xla(rng):
     for cins, co, d, h, w in (((24,), 48, 8, 64, 64),
                               ((48, 96), 96, 8, 32, 32),
                               ((5,), 7, 8, 16, 64),
-                              ((24,), 16, 8, 16, 96),
-                              ((8,), 8, 8, 8, 160)):
+                              ((24,), 16, 8, 32, 96),
+                              ((8,), 8, 8, 32, 160)):
         ci = sum(cins)
         assert _flat_layout(ci, co, d, h, w) is not None
         srcs = [jnp.asarray(rng.normal(size=(c, d, h, w)).astype(np.float32))
@@ -381,6 +381,34 @@ def test_flat_plane_conv_matches_xla(rng):
                                    atol=1e-4, rtol=1e-5)
 
 
+def test_flat_conv_accum_chaining(rng):
+    """conv3d_cf_flat's ``accum`` input (the channel-group chaining used by
+    conv3d_cf_flat_grouped for big-cin decoder convs at non-128-multiple
+    widths): two half-cin partial convs chained in-kernel == the full conv,
+    with bias + elu fused only into the last group's epilogue."""
+    import jax
+
+    from synthsr_tpu.ops.conv_pallas import conv3d_cf_flat
+
+    ci, co, d, h, w = 12, 8, 8, 32, 96
+    x = jnp.asarray(rng.normal(size=(ci, d, h, w)).astype(np.float32))
+    wk = jnp.asarray(
+        rng.normal(size=(3, 3, 3, ci, co)).astype(np.float32)) * 0.2
+    b = jnp.asarray(rng.normal(size=(co,)).astype(np.float32))
+
+    y1 = conv3d_cf_flat(x[:6], wk[:, :, :, :6, :], interpret=True)
+    got = conv3d_cf_flat(x[6:], wk[:, :, :, 6:, :], bias=b,
+                         activation="elu", accum=y1, interpret=True)
+
+    ref = jax.lax.conv_general_dilated(
+        x[None], wk, (1, 1, 1), "SAME",
+        dimension_numbers=("NCDHW", "DHWIO", "NCDHW"))[0] \
+        + b.reshape(-1, 1, 1, 1)
+    ref = jax.nn.elu(ref)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-4, rtol=1e-5)
+
+
 def test_wgrad_flat_kernel_arbitrary_width(rng):
     """The folded-plane wgrad at the arbitrary widths (W = 96: unaligned
     wrap masks; W = 160: rb = 2 border rows) vs jax.grad of lax.conv."""
@@ -389,7 +417,7 @@ def test_wgrad_flat_kernel_arbitrary_width(rng):
     from synthsr_tpu.ops.conv_pallas import (_wgrad_flat_layout,
                                              _wgrad_layout, conv3d_cf_wgrad)
 
-    for ci, co, d, h, w in ((6, 4, 8, 16, 96), (4, 4, 8, 8, 160)):
+    for ci, co, d, h, w in ((6, 4, 8, 32, 96), (4, 4, 8, 32, 160)):
         assert _wgrad_layout(ci, co, d, h, w) is None
         assert _wgrad_flat_layout(ci, co, d, h, w) is not None
         x = jnp.asarray(rng.normal(size=(ci, d, h, w)).astype(np.float32))
