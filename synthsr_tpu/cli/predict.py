@@ -239,6 +239,9 @@ def main(argv=None):
         os.environ.setdefault("XLA_FLAGS", "")
         os.environ["XLA_FLAGS"] += f" --xla_cpu_multi_thread_eigen={args.threads > 1}"
 
+    from ..utils.misc import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()
     images, outs = _prepare_paths(args.path_images, args.path_predictions)
     print(f"Found {len(images)} images")
     predictor = Predictor(model_path=args.model,

@@ -169,6 +169,9 @@ def main(argv=None):
 
         jax.config.update("jax_platforms", "cpu")
 
+    from ..utils.misc import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()
     t1s, t2s, outs = _prepare_paths(args.path_t1_images, args.path_t2_images,
                                     args.path_predictions)
     print(f"Found {len(t1s)} images")

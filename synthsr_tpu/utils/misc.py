@@ -217,6 +217,26 @@ def read_pickle(filepath):
         return pickle.load(f)
 
 
+def enable_persistent_compile_cache(cache_dir=None):
+    """Turn on jax's persistent compilation cache (no reference analogue —
+    TF retraces eagerly).  The Pallas conv kernels cost minutes of Mosaic
+    lowering per (shape, channels) combination on first compile; with the
+    cache, re-runs of the predict CLIs start in seconds even for new
+    volume sizes seen in a previous process.  Respects an existing
+    JAX_COMPILATION_CACHE_DIR; defaults to ~/.cache/synthsr_tpu."""
+    import jax
+
+    cache_dir = (cache_dir or os.environ.get("JAX_COMPILATION_CACHE_DIR")
+                 or os.path.join(os.path.expanduser("~"), ".cache",
+                                 "synthsr_tpu", "jax_cache"))
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except (OSError, AttributeError) as e:  # unwritable dir / very old jax
+        print(f"persistent compile cache disabled: {e}")
+
+
 def create_affine_transformation_matrix(n_dims, scaling=None, rotation=None,
                                         shearing=None, translation=None):
     """Numpy twin of the traced affine sampler: compose a (n+1, n+1) matrix
