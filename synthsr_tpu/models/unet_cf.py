@@ -16,10 +16,11 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..ops.conv_pallas import (_flat_layout, _plane_layout, conv3d_cf,
-                               conv3d_cf_flat, conv3d_cf_flat_grouped,
-                               conv3d_cf_grouped, conv3d_cf_planes,
-                               split_flat_group_for, split_group_for)
+from ..ops.conv_pallas import (PREFER_FLAT, _flat_layout, _plane_layout,
+                               conv3d_cf, conv3d_cf_flat,
+                               conv3d_cf_flat_grouped, conv3d_cf_grouped,
+                               conv3d_cf_planes, split_flat_group_for,
+                               split_group_for)
 from .unet import UNet3D, _activation, upsample_nearest
 
 
@@ -67,7 +68,19 @@ def _conv_cf(p, x, interpret=False, activation=None, post=None, head=None):
     kern = p["kernel"]
     cout = kern.shape[-1]
     act = _activation_fn(activation)
-    if _plane_layout(cin, cout, d, h, wdim) is not None:
+    # SYNTHSR_PREFER_FLAT A/B: try the folded-plane kernel ahead of the
+    # plane-streaming one wherever both qualify (head folding exists only on
+    # the plane path, so head convs always keep their order)
+    flat_first = PREFER_FLAT and head is None
+    if flat_first and _flat_layout(cin, cout, d, h, wdim) is not None:
+        y = conv3d_cf_flat(x, kern.astype(x.dtype), bias=p["bias"],
+                           activation=activation, post=post,
+                           interpret=interpret)
+    elif flat_first and split_flat_group_for(cin, cout, d, h, wdim) is not None:
+        y = conv3d_cf_flat_grouped(x, kern, bias=p["bias"],
+                                   activation=activation, post=post,
+                                   interpret=interpret)
+    elif _plane_layout(cin, cout, d, h, wdim) is not None:
         y = conv3d_cf_planes(x, kern.astype(x.dtype), bias=p["bias"],
                              activation=activation, post=post, head=head,
                              interpret=interpret)
@@ -233,14 +246,23 @@ def fast_unet_forward(model: UNet3D, variables, x, interpret=False,
             cin_tot = p0["kernel"].shape[3]
             cout0 = p0["kernel"].shape[-1]
             srcs = [skip.astype(xx.dtype), xx]
-            if (w0 % 128 == 0 and d0 % 4 == 0
-                    and (_plane_layout(cin_tot, cout0, d0, h0_, w0)
-                         is not None  # monolith (possibly rolled chunks)
-                         or all(_plane_layout(s.shape[0], cout0,
-                                              d0, h0_, w0) is not None
-                                or split_group_for(s.shape[0], cout0,
-                                                   d0, h0_, w0) is not None
-                                for s in srcs))):
+            planes_ok = (
+                w0 % 128 == 0 and d0 % 4 == 0
+                and (_plane_layout(cin_tot, cout0, d0, h0_, w0)
+                     is not None  # monolith (possibly rolled chunks)
+                     or all(_plane_layout(s.shape[0], cout0,
+                                          d0, h0_, w0) is not None
+                            or split_group_for(s.shape[0], cout0,
+                                               d0, h0_, w0) is not None
+                            for s in srcs)))
+            flat_ok = (
+                _flat_layout(cin_tot, cout0, d0, h0_, w0) is not None
+                or all(_flat_layout(s.shape[0], cout0, d0, h0_, w0,
+                                    with_accum=True) is not None
+                       or split_flat_group_for(s.shape[0], cout0,
+                                               d0, h0_, w0) is not None
+                       for s in srcs))
+            if planes_ok and not (PREFER_FLAT and flat_ok):
                 srcs = [jax.lax.optimization_barrier(s) for s in srcs]
                 y = conv3d_cf_grouped(srcs, p0["kernel"], bias=p0["bias"],
                                       activation=fused_act,
@@ -248,12 +270,7 @@ def fast_unet_forward(model: UNet3D, variables, x, interpret=False,
                 y = jax.lax.optimization_barrier(y)
                 xx = y if fused_act else act(y)
                 conv_start = 1
-            elif (_flat_layout(cin_tot, cout0, d0, h0_, w0) is not None
-                  or all(_flat_layout(s.shape[0], cout0, d0, h0_, w0,
-                                      with_accum=True) is not None
-                         or split_flat_group_for(s.shape[0], cout0,
-                                                 d0, h0_, w0) is not None
-                         for s in srcs)):
+            elif flat_ok:
                 # folded-plane multi-source: the 64/32-cubed decoder concats
                 # and, channel-grouped, the big-cin decoder convs of the
                 # non-128-multiple clinical sizes (160/192/224-cubed)

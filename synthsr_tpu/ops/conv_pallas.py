@@ -76,12 +76,21 @@ the MXU's default f32 matmul runs bf16 passes).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+# Dispatch preference between the plane-streaming (v6) and folded-plane
+# ("flat") kernels at shapes where BOTH qualify (128-multiple widths).
+# Micro-probes at 128-cubed >=24ch shapes showed flat 1.03-1.19x faster than
+# planes, but per-kernel timings through the tunneled chip under-measure —
+# the end-to-end benches (bench.py / bench_train.py) are the arbiter.
+# SYNTHSR_PREFER_FLAT=0/1 overrides for A/B runs; read once at import.
+PREFER_FLAT = os.environ.get("SYNTHSR_PREFER_FLAT", "0") == "1"
 
 
 def pick_blocks(cin, cout, d, h, w, budget=12 * 2 ** 20):
@@ -1183,6 +1192,10 @@ def conv3d_cf_wgrad(x, g, interpret: bool = False, n_streams: int = 3):
     ci, d, h, w = x.shape
     co = g.shape[0]
     layout = _wgrad_layout(ci, co, d, h, w)
+    if PREFER_FLAT and layout is not None:
+        flat = _wgrad_flat_layout(ci, co, d, h, w)
+        if flat is not None:
+            layout = None
     if layout is None:
         flat = _wgrad_flat_layout(ci, co, d, h, w)
         assert flat is not None, \

@@ -35,11 +35,12 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from .conv_pallas import (_flat_layout, _plane_layout, _wgrad_flat_layout,
-                          _wgrad_layout, conv3d_cf, conv3d_cf_flat,
-                          conv3d_cf_flat_grouped, conv3d_cf_grouped,
-                          conv3d_cf_planes, conv3d_cf_wgrad,
-                          split_flat_group_for, split_group_for)
+from .conv_pallas import (PREFER_FLAT, _flat_layout, _plane_layout,
+                          _wgrad_flat_layout, _wgrad_layout, conv3d_cf,
+                          conv3d_cf_flat, conv3d_cf_flat_grouped,
+                          conv3d_cf_grouped, conv3d_cf_planes,
+                          conv3d_cf_wgrad, split_flat_group_for,
+                          split_group_for)
 
 
 def train_conv_ok(cin, cout, spatial):
@@ -131,7 +132,18 @@ def _apply_fused(sources, w, b, activation, interpret):
     cout = w.shape[-1]
     dt = sources[0].dtype
     x1 = sources[0] if len(sources) == 1 else list(sources)
-    if _plane_layout(cin, cout, d, h, wd) is not None:
+    # SYNTHSR_PREFER_FLAT A/B (see conv_pallas.PREFER_FLAT)
+    if PREFER_FLAT and _flat_layout(cin, cout, d, h, wd) is not None:
+        y = conv3d_cf_flat(x1, w.astype(dt), bias=b, activation=activation,
+                           interpret=interpret)
+    elif PREFER_FLAT and all(
+            _flat_layout(s.shape[0], cout, d, h, wd,
+                         with_accum=True) is not None
+            or split_flat_group_for(s.shape[0], cout, d, h, wd) is not None
+            for s in sources):
+        y = conv3d_cf_flat_grouped(x1, w, bias=b, activation=activation,
+                                   interpret=interpret)
+    elif _plane_layout(cin, cout, d, h, wd) is not None:
         y = conv3d_cf_planes(x1, w.astype(dt), bias=b, activation=activation,
                              interpret=interpret)
     elif wd % 128 == 0 and d % 4 == 0 and all(

@@ -100,10 +100,11 @@ def local_unet_forward_train(params, batch_stats, x, model, axis_name):
     return x.astype(jnp.float32), new_stats
 
 
-def _global_masked_loss(pred, target, crop, axis_name, metrics, local_x,
-                        global_x):
-    """LOCAL SHARD of the l1/l2 loss over the centre ``crop`` of the GLOBAL
-    volume: this device's masked error sum over the psummed global count.
+def _global_masked_loss(err, crop, axis_name, local_x, global_x):
+    """LOCAL SHARD of the mean of a POINTWISE per-voxel error tensor over the
+    centre ``crop`` of the GLOBAL volume: this device's masked error sum over
+    the psummed global count.  Covers l1, l2 and the laplace NLL
+    (metrics_model.py:93-106 — all pointwise maps of (pred, target)).
     Shards SUM to regression_loss's center_crop + mean on the unsharded
     volume — psum the returned value for display only, OUTSIDE jax.grad.
 
@@ -112,13 +113,12 @@ def _global_masked_loss(pred, target, crop, axis_name, metrics, local_x,
     hand every device an n×-scaled cotangent, and the later psum of the
     parameter gradients would then double-count — n× gradients overall.
     The count psums are AD-inert (data-independent)."""
-    err = jnp.abs(pred - target) if metrics == "l1" else jnp.square(pred - target)
     if crop is None:
         count = jax.lax.psum(jnp.float32(err.size), axis_name)
         return jnp.sum(err) / count
     from ..utils.misc import reformat_to_list
 
-    spatial = (global_x,) + tuple(pred.shape[2:-1])
+    spatial = (global_x,) + tuple(err.shape[2:-1])
     crop = reformat_to_list(crop, length=3)
     begin = [int((spatial[i] - crop[i]) / 2) for i in range(3)]
     # sharded X axis: mask by global coordinate
@@ -221,10 +221,13 @@ def make_halo_train_step(model, optimizer, mesh, axis="space", metrics="l1",
 
     image/target: (1, X, Y, Z, C) sharded along X over ``mesh[axis]``;
     X must be divisible by n_devices·2^(nb_levels−1).  metrics: l1 | l2 |
-    ssim (ssim halo-exchanges 5 voxels for its cross-shard X windows).
+    ssim | laplace (ssim halo-exchanges 5 voxels for its cross-shard X
+    windows; laplace — metrics_model.py:93-106's pointwise NLL with the net
+    output split into intensity/spread channel halves — needs no exchange).
     """
-    if metrics not in ("l1", "l2", "ssim"):
-        raise ValueError("halo-sharded training supports l1/l2/ssim metrics")
+    if metrics not in ("l1", "l2", "ssim", "laplace"):
+        raise ValueError(
+            "halo-sharded training supports l1/l2/ssim/laplace metrics")
     from jax import shard_map
 
     n = mesh.shape[axis]
@@ -235,15 +238,28 @@ def make_halo_train_step(model, optimizer, mesh, axis="space", metrics="l1",
         def loss_fn(p):
             out, updates = local_unet_forward_train(p, batch_stats, image,
                                                     model, axis)
+            if metrics == "laplace":
+                nc = out.shape[-1] // 2
+                intens, spreads = out[..., :nc], out[..., nc:]
+            else:
+                intens, spreads = out, None
             if residual_indices is not None:
                 res = jnp.stack([image[..., i] for i in residual_indices], -1)
-                out = out + res
+                intens = intens + res
             if metrics == "ssim":
-                loss = _global_ssim3d_loss(out, target, loss_cropping, axis,
-                                           local_x, local_x * n)
+                loss = _global_ssim3d_loss(intens, target, loss_cropping,
+                                           axis, local_x, local_x * n)
             else:
-                loss = _global_masked_loss(out, target, loss_cropping, axis,
-                                           metrics, local_x, local_x * n)
+                if metrics == "laplace":
+                    # ops/losses.laplace_nll per-voxel map
+                    b = 1e-5 + 0.02 * jnp.exp(spreads)
+                    err = jnp.log(2.0 * b) + jnp.abs(intens - target) / b
+                elif metrics == "l1":
+                    err = jnp.abs(intens - target)
+                else:
+                    err = jnp.square(intens - target)
+                loss = _global_masked_loss(err, loss_cropping, axis,
+                                           local_x, local_x * n)
             return loss, updates
 
         (loss, updates), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)

@@ -150,6 +150,42 @@ def test_halo_train_step_ssim_matches_unsharded(loss_cropping, n_dev):
         np.asarray(a), np.asarray(b), atol=5e-5), p_sh, p_ref)
 
 
+def test_halo_train_step_laplace_matches_unsharded():
+    """Sharded laplace-NLL training (pointwise intensity/spread split,
+    metrics_model.py:93-106) equals the unsharded step (VERDICT round-3 #6).
+    Net has 2 output channels (nc=1: mean + spread); residual adds to the
+    intensity half only."""
+    import optax
+
+    from synthsr_tpu.parallel.halo_train import make_halo_train_step
+
+    model = UNet3D(nb_features=3, nb_levels=2, nb_conv_per_level=2,
+                   nb_labels=2, compute_dtype=jnp.float32)
+    x0 = jnp.zeros((1, 16, 16, 16, 1))
+    variables = dict(jax.jit(model.init)(jax.random.PRNGKey(0), x0))
+    rng = np.random.default_rng(7)
+    variables["params"] = jax.tree.map(
+        lambda p: jnp.asarray(rng.normal(size=p.shape, scale=0.1)
+                              .astype(np.float32)), variables["params"])
+    optimizer = optax.sgd(1e-2)
+    params, batch_stats = variables["params"], variables["batch_stats"]
+    opt_state = optimizer.init(params)
+    image = jnp.asarray(rng.normal(size=(1, 16, 16, 16, 1)).astype(np.float32))
+    target = jnp.asarray(rng.normal(size=(1, 16, 16, 16, 1)).astype(np.float32))
+
+    ref_step = _unsharded_step(model, optimizer, metrics="laplace",
+                               loss_cropping=8, residual_indices=[0])
+    p_ref, _, _, loss_ref = ref_step(params, batch_stats, opt_state,
+                                     image, target)
+    mesh = make_spatial_mesh(4)
+    step = make_halo_train_step(model, optimizer, mesh, metrics="laplace",
+                                loss_cropping=8, residual_indices=[0])
+    p_sh, _, _, loss_sh = step(params, batch_stats, opt_state, image, target)
+    np.testing.assert_allclose(float(loss_sh), float(loss_ref), rtol=1e-5)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), atol=5e-5), p_sh, p_ref)
+
+
 def test_halo_train_step_residual_channel():
     """Residual-channel assembly works under spatial sharding."""
     import optax
@@ -211,7 +247,7 @@ def test_halo_train_grads_exact_f64():
         def local_loss(p, image, target):
             out, _ = local_unet_forward_train(p, batch_stats, image, model,
                                               "space")
-            return _global_masked_loss(out, target, None, "space", "l1",
+            return _global_masked_loss(jnp.abs(out - target), None, "space",
                                        image.shape[1], image.shape[1] * 4)
 
         def local_grad(p, image, target):

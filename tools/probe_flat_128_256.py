@@ -1,8 +1,12 @@
 """Probe: folded-plane (flat) kernel vs plane-streaming (v6) kernel at the
 128-multiple widths where the dispatch currently prefers v6 (unet_cf._conv_cf
 tries _plane_layout first).  Flat beat v6/XLA at every measured narrow width
-(STATUS round 3); this measures the head-to-head at the 128-cubed train
-shapes and 256-cubed predict shapes.  One-shot experiment tool.
+(STATUS round 3); this measures the head-to-head at the 256-cubed predict
+shapes (the 128-cubed train shapes were measured in the round-3 probe run:
+flat 1.03-1.19x planes at >=24ch).  One-shot experiment tool.
+NOTE (round 4): tunnel micro-timings under-measure (see memory note); the
+SYNTHSR_PREFER_FLAT end-to-end A/B on bench.py / bench_train.py is the
+arbiter (tools/ab_flat.sh).
 """
 
 import time

@@ -34,6 +34,9 @@ def main():
         t_p = timeit(planes, x, g)
         print(f"planes: {t_p:8.2f} ms", flush=True)
         fl = cp._wgrad_flat_layout(cin, cout, s, s, s)
+        if fl is None:
+            print("flat:   ineligible", flush=True)
+            continue
         flat = jax.jit(lambda x, g: cp._wgrad_flat_call(x, g, fl, False, 3))
         t_f = timeit(flat, x, g)
         print(f"flat:   {t_f:8.2f} ms   ({t_p / t_f:.2f}x)", flush=True)
