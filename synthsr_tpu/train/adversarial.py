@@ -40,13 +40,22 @@ from ..synth.brain_generator import BrainGenerator
 from ..utils.finite_guard import FiniteGuard, guard_updates
 from ..utils.misc import get_mapping_lut, load_array_if_path, reformat_to_list
 from .metrics import assemble_prediction, center_crop, doubled_residual_indices
-from .training import keras_decay_schedule
+from .training import keras_decay_schedule, vmap_examples
 
 
-def random_weighted_average(key, real, fake):
+def random_weighted_average(key, real, fake, n_dp=1, axis_name=None):
     """x̂ = w·real + (1-w)·fake with one uniform weight per batch element
-    (reference RandomWeightedAverage:604-625)."""
-    w = jax.random.uniform(key, (real.shape[0],) + (1,) * (real.ndim - 1))
+    (reference RandomWeightedAverage:604-625).
+
+    Under a ``shard_map``-ed data-parallel step (``n_dp`` devices on mesh
+    axis ``axis_name``) the weights are drawn for the GLOBAL batch and this
+    device's contiguous shard is sliced out — the same weight stream as the
+    single-jit step."""
+    n_local = real.shape[0]
+    w = jax.random.uniform(key, (n_local * n_dp,) + (1,) * (real.ndim - 1))
+    if axis_name is not None and n_dp > 1:
+        idx = jax.lax.axis_index(axis_name)
+        w = jax.lax.dynamic_slice_in_dim(w, idx * n_local, n_local)
     return w * real + (1.0 - w) * fake
 
 
@@ -60,6 +69,210 @@ def gradient_penalty(disc_apply, disc_params, x_hat, mask=None, weight=10.0):
     sq = jnp.sum(jnp.square(grads), axis=tuple(range(1, 4)))  # spatial axes only
     norm = jnp.sqrt(jnp.maximum(sq, 1e-12))
     return weight * jnp.mean(jnp.square(1.0 - norm))
+
+
+def make_adversarial_steps(gen_model, disc_model, generate_fn, gen_opt,
+                           disc_opt, *, gmm_sampler, residual_indices=None,
+                           loss_cropping=None,
+                           relative_weight_discriminator=0.01,
+                           relative_weight_segmentation=0.25,
+                           gradient_penalty_weight=10.0,
+                           mask_lut=None, need_labels=False,
+                           seg_apply=None, seg_vars=None, seg_eq=None,
+                           generation_labels=None, norm_m=None, norm_M=None,
+                           fast_forward="auto", compute_dtype=jnp.float32,
+                           data_mesh=None):
+    """Build the two jitted WGAN-GP updates (reference
+    fine_tuning_with_adversary.py:365-436):
+
+      disc_step(gen_params, gen_bs, disc_params, disc_opt_state, key, batch)
+          -> (disc_params, disc_opt_state, d_loss)
+      gen_step(gen_params, gen_bs, disc_params, gen_opt_state, key, batch)
+          -> (gen_params, gen_bs, gen_opt_state, g_loss)
+
+    ``batch`` = (labels[, real]) with a leading batch axis; generation and
+    the GMM prior draws run on device inside both steps.
+
+    ``fast_forward``: same gating as the supervised make_train_step — the
+    generator runs the channels-first Pallas conv family wherever shapes
+    qualify (the differentiable train apply in gen_step, the inference
+    forward for the fake volumes in each discriminator iteration).
+
+    ``data_mesh``: the data-parallel mesh (axis "data").  Without the fast
+    path the steps rely on jit auto-sharding; WITH the fast path on a
+    >1-device mesh both step bodies run under ``shard_map`` — per-device
+    Pallas kernels on the local batch shard, BatchNorm stats pmean-ed inside
+    the net, grads/losses pmean-ed over "data", keys and interpolation
+    weights split for the GLOBAL batch and sliced per device (exact
+    single-jit stream parity, like the supervised DP-fast step)."""
+    from ..models.unet_cf import fast_unet_forward
+    from ..models.unet_cf_train import can_fast_train, make_fast_train_apply
+
+    dt = compute_dtype
+    has_dropout = getattr(gen_model, "conv_dropout", 0.0) > 0
+    mask_input = mask_lut is not None
+
+    use_fast = fast_forward in ("on", "interpret") or (
+        fast_forward == "auto" and jax.default_backend() == "tpu"
+        and dt == jnp.bfloat16)
+    use_fast = use_fast and can_fast_train(gen_model)
+
+    n_dp = 1
+    if data_mesh is not None and "data" in data_mesh.axis_names:
+        n_dp = int(data_mesh.shape["data"])
+    use_dp_fast = use_fast and n_dp > 1
+    if not use_dp_fast:
+        # no shard_map: the step sees the full global batch (jit
+        # auto-sharding), so keys/weights split for exactly that batch
+        n_dp = 1
+
+    fast_train_apply = None
+    if use_fast:
+        fast_train_apply = make_fast_train_apply(
+            gen_model, interpret=fast_forward == "interpret",
+            bn_axis="data" if use_dp_fast else None)
+
+    def batch_keys(key, n_local):
+        """Per-example keys with the single-jit stream: split for the GLOBAL
+        batch; under the shard_map fast path slice this device's contiguous
+        shard (shard_batch lays global example d·n_local+j on device d)."""
+        keys = jax.random.split(key, n_local * n_dp if use_dp_fast
+                                else n_local)
+        if use_dp_fast:
+            idx = jax.lax.axis_index("data")
+            keys = jax.lax.dynamic_slice_in_dim(keys, idx * n_local, n_local)
+        return keys
+
+    def disc_apply(p, x, mask=None):
+        return disc_model.apply({"params": p}, x, mask)
+
+    def _generate(key, batch):
+        bs = batch[0].shape[0]
+        key, k_gmm = jax.random.split(key)
+        means, stds = jax.vmap(gmm_sampler)(batch_keys(k_gmm, bs))
+        batch = (batch[0], means, stds) + tuple(batch[1:])
+        keys = batch_keys(key, bs)
+        out = vmap_examples(generate_fn)(keys, *batch)
+        if need_labels:
+            image, target, seg_t = out
+        else:
+            (image, target), seg_t = out, None
+        mask = None
+        if mask_input:
+            mask = mask_lut[seg_t[..., 0].astype(jnp.int32)][..., None] \
+                .astype(jnp.float32)
+        return image, target, seg_t, mask
+
+    def _fake(p, bs, image, train, drop_key=None):
+        v = {"params": p, "batch_stats": bs}
+        if train:
+            if use_fast:
+                out, updates = fast_train_apply(v, image)
+            else:
+                rngs = {"dropout": drop_key} if has_dropout else None
+                out, updates = gen_model.apply(v, image, train=True,
+                                               mutable=["batch_stats"],
+                                               rngs=rngs)
+        elif use_fast:
+            # eval mode: batch-1 inference kernels per example
+            out = jnp.concatenate([
+                fast_unet_forward(gen_model, v, image[i:i + 1],
+                                  interpret=fast_forward == "interpret",
+                                  dtype=dt)
+                for i in range(image.shape[0])])
+            updates = None
+        else:
+            out, updates = gen_model.apply(v, image), None
+        pred, _ = assemble_prediction(out, image,
+                                      work_with_residual_channel=residual_indices)
+        return pred, updates
+
+    def disc_step(gen_params, gen_bs, disc_params, disc_opt_state, key, batch):
+        k_gen, k_avg = jax.random.split(key)
+        image, target, _, mask = _generate(k_gen, batch)
+        fake, _ = _fake(gen_params, gen_bs, image, train=False)
+
+        def loss_fn(dp):
+            x_hat = random_weighted_average(
+                k_avg, target, fake, n_dp=n_dp,
+                axis_name="data" if use_dp_fast else None)
+            d_real = disc_apply(dp, target, mask)
+            d_fake = disc_apply(dp, fake, mask)
+            gp = gradient_penalty(disc_apply, dp, x_hat, mask,
+                                  gradient_penalty_weight)
+            return jnp.mean(-d_real) + jnp.mean(d_fake) + gp
+
+        loss, grads = jax.value_and_grad(loss_fn)(disc_params)
+        if use_dp_fast:
+            grads = jax.lax.pmean(grads, "data")
+            loss = jax.lax.pmean(loss, "data")
+        upd, new_state = disc_opt.update(grads, disc_opt_state, disc_params)
+        finite = jnp.isfinite(loss)
+        return (guard_updates(finite, optax.apply_updates(disc_params, upd),
+                              disc_params),
+                guard_updates(finite, new_state, disc_opt_state), loss)
+
+    def gen_step(gen_params, gen_bs, disc_params, gen_opt_state, key, batch):
+        # extra split only when the net has dropout: the key stream (and so
+        # every seeded run) is unchanged for the shipped dropout=0 configs
+        drop_key = None
+        if has_dropout:
+            key, drop_key = jax.random.split(key)
+        image, target, seg_t, mask = _generate(key, batch)
+
+        def loss_fn(p):
+            fake, updates = _fake(p, gen_bs, image, train=True,
+                                  drop_key=drop_key)
+            t_c = center_crop(target, loss_cropping)
+            f_c = center_crop(fake, loss_cropping)
+            l1 = l1_loss(f_c, t_c)
+            w = jnp.mean(-disc_apply(disc_params, fake, mask))
+            l1_weight = 1.0 - relative_weight_discriminator
+            loss = relative_weight_discriminator * w
+            if seg_apply is not None:
+                l1_weight -= relative_weight_segmentation
+                x = (jnp.clip(fake, norm_m, norm_M) - norm_m) / (norm_M - norm_m)
+                pred_seg = seg_apply(seg_vars, x)
+                seg_c = center_crop(seg_t, loss_cropping)
+                ps_c = center_crop(pred_seg, loss_cropping)
+                gts, preds = [], []
+                for li, lv in enumerate(np.asarray(generation_labels)):
+                    idx = np.where(seg_eq == lv)[0]
+                    if len(idx) > 0:
+                        gts.append((seg_c[..., -1] == int(lv)).astype(jnp.float32))
+                        preds.append(sum(ps_c[..., j] for j in idx))
+                dice = dice_loss(jnp.stack(gts, -1), jnp.stack(preds, -1),
+                                 enable_checks=False)
+                loss = loss + relative_weight_segmentation * dice
+            loss = loss + l1_weight * l1
+            return loss, updates
+
+        (loss, updates), grads = jax.value_and_grad(loss_fn, has_aux=True)(gen_params)
+        if use_dp_fast:
+            # BN stats in `updates` are already pmean-ed inside the net
+            grads = jax.lax.pmean(grads, "data")
+            loss = jax.lax.pmean(loss, "data")
+        upd, new_state = gen_opt.update(grads, gen_opt_state, gen_params)
+        # on-device non-finite write gate (see utils/finite_guard.py)
+        finite = jnp.isfinite(loss)
+        return (guard_updates(finite, optax.apply_updates(gen_params, upd),
+                              gen_params),
+                guard_updates(finite, updates["batch_stats"], gen_bs),
+                guard_updates(finite, new_state, gen_opt_state), loss)
+
+    if use_dp_fast:
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        disc_step = shard_map(
+            disc_step, mesh=data_mesh,
+            in_specs=(P(), P(), P(), P(), P(), P("data")),
+            out_specs=(P(), P(), P()), check_vma=False)
+        gen_step = shard_map(
+            gen_step, mesh=data_mesh,
+            in_specs=(P(), P(), P(), P(), P(), P("data")),
+            out_specs=(P(), P(), P(), P()), check_vma=False)
+    return jax.jit(disc_step), jax.jit(gen_step)
 
 
 def training(labels_dir,
@@ -235,9 +448,6 @@ def training(labels_dir,
     gen_opt_state = replicate(mesh, gen_opt_state)
     disc_opt_state = replicate(mesh, disc_opt_state)
 
-    def disc_apply(p, x, mask=None):
-        return disc_model.apply({"params": p}, x, mask)
-
     # GMM prior draws run on device inside both steps (as in supervised
     # training); the host pipeline streams only label maps + real images
     from ..synth.sampling import make_gmm_sampler
@@ -250,129 +460,23 @@ def training(labels_dir,
         n_channels=brain_generator.n_channels,
         generation_classes=brain_generator.generation_classes)
 
-    def _generate(key, batch):
-        key, k_gmm = jax.random.split(key)
-        means, stds = jax.vmap(gmm_sampler)(
-            jax.random.split(k_gmm, batch[0].shape[0]))
-        batch = (batch[0], means, stds) + tuple(batch[1:])
-        keys = jax.random.split(key, batch[0].shape[0])
-        args = (keys,) + tuple(batch)
-        out = jax.vmap(generate_fn)(*args)
-        if need_labels:
-            image, target, seg_t = out
-        else:
-            (image, target), seg_t = out, None
-        mask = None
-        if mask_input:
-            mask = mask_lut[seg_t[..., 0].astype(jnp.int32)][..., None].astype(jnp.float32)
-        return image, target, seg_t, mask
-
-    # fast channels-first Pallas generator forwards (same gating as the
-    # supervised loop's make_train_step): the differentiable train apply in
-    # gen_step, the inference forward (running BN stats) for the fake
-    # volumes inside each of the 10-per-G discriminator iterations —
-    # the largest single compute in a D iteration
-    from ..models.unet_cf import fast_unet_forward
-    from ..models.unet_cf_train import can_fast_train, make_fast_train_apply
-
-    use_fast = fast_forward in ("on", "interpret") or (
-        fast_forward == "auto" and jax.default_backend() == "tpu"
-        and dt == jnp.bfloat16)
-    use_fast = use_fast and n_devices == 1 and can_fast_train(gen_model)
-    fast_train_apply = None
-    if use_fast:
-        fast_train_apply = make_fast_train_apply(
-            gen_model, interpret=fast_forward == "interpret")
-
-    def _fake(p, bs, image, train, drop_key=None):
-        v = {"params": p, "batch_stats": bs}
-        if train:
-            if use_fast:
-                out, updates = fast_train_apply(v, image)
-            else:
-                rngs = {"dropout": drop_key} if has_dropout else None
-                out, updates = gen_model.apply(v, image, train=True,
-                                               mutable=["batch_stats"],
-                                               rngs=rngs)
-        elif use_fast:
-            # eval mode: batch-1 inference kernels per example
-            out = jnp.concatenate([
-                fast_unet_forward(gen_model, v, image[i:i + 1],
-                                  interpret=fast_forward == "interpret",
-                                  dtype=dt)
-                for i in range(image.shape[0])])
-            updates = None
-        else:
-            out, updates = gen_model.apply(v, image), None
-        pred, _ = assemble_prediction(out, image,
-                                      work_with_residual_channel=residual_indices)
-        return pred, updates
-
-    @jax.jit
-    def disc_step(gen_params, gen_bs, disc_params, disc_opt_state, key, batch):
-        k_gen, k_avg = jax.random.split(key)
-        image, target, _, mask = _generate(k_gen, batch)
-        fake, _ = _fake(gen_params, gen_bs, image, train=False)
-
-        def loss_fn(dp):
-            x_hat = random_weighted_average(k_avg, target, fake)
-            d_real = disc_apply(dp, target, mask)
-            d_fake = disc_apply(dp, fake, mask)
-            gp = gradient_penalty(disc_apply, dp, x_hat, mask,
-                                  gradient_penalty_weight)
-            return jnp.mean(-d_real) + jnp.mean(d_fake) + gp
-
-        loss, grads = jax.value_and_grad(loss_fn)(disc_params)
-        upd, new_state = disc_opt.update(grads, disc_opt_state, disc_params)
-        finite = jnp.isfinite(loss)
-        return (guard_updates(finite, optax.apply_updates(disc_params, upd),
-                              disc_params),
-                guard_updates(finite, new_state, disc_opt_state), loss)
-
-    @jax.jit
-    def gen_step(gen_params, gen_bs, disc_params, gen_opt_state, key, batch):
-        # extra split only when the net has dropout: the key stream (and so
-        # every seeded run) is unchanged for the shipped dropout=0 configs
-        drop_key = None
-        if has_dropout:
-            key, drop_key = jax.random.split(key)
-        image, target, seg_t, mask = _generate(key, batch)
-
-        def loss_fn(p):
-            fake, updates = _fake(p, gen_bs, image, train=True,
-                                  drop_key=drop_key)
-            t_c = center_crop(target, loss_cropping)
-            f_c = center_crop(fake, loss_cropping)
-            l1 = l1_loss(f_c, t_c)
-            w = jnp.mean(-disc_apply(disc_params, fake, mask))
-            l1_weight = 1.0 - relative_weight_discriminator
-            loss = relative_weight_discriminator * w
-            if seg_apply is not None:
-                l1_weight -= relative_weight_segmentation
-                x = (jnp.clip(fake, norm_m, norm_M) - norm_m) / (norm_M - norm_m)
-                pred_seg = seg_apply(seg_vars, x)
-                seg_c = center_crop(seg_t, loss_cropping)
-                ps_c = center_crop(pred_seg, loss_cropping)
-                gts, preds = [], []
-                for li, lv in enumerate(np.asarray(generation_labels)):
-                    idx = np.where(seg_eq == lv)[0]
-                    if len(idx) > 0:
-                        gts.append((seg_c[..., -1] == int(lv)).astype(jnp.float32))
-                        preds.append(sum(ps_c[..., j] for j in idx))
-                dice = dice_loss(jnp.stack(gts, -1), jnp.stack(preds, -1),
-                                 enable_checks=False)
-                loss = loss + relative_weight_segmentation * dice
-            loss = loss + l1_weight * l1
-            return loss, updates
-
-        (loss, updates), grads = jax.value_and_grad(loss_fn, has_aux=True)(gen_params)
-        upd, new_state = gen_opt.update(grads, gen_opt_state, gen_params)
-        # on-device non-finite write gate (see utils/finite_guard.py)
-        finite = jnp.isfinite(loss)
-        return (guard_updates(finite, optax.apply_updates(gen_params, upd),
-                              gen_params),
-                guard_updates(finite, updates["batch_stats"], gen_bs),
-                guard_updates(finite, new_state, gen_opt_state), loss)
+    # the two jitted WGAN-GP updates; the generator runs the fast
+    # channels-first Pallas conv family where shapes qualify (the
+    # differentiable train apply in gen_step, the inference forward for the
+    # fake volumes inside each of the 10-per-G discriminator iterations —
+    # the largest single compute in a D iteration), incl. under data
+    # parallelism (shard_map, same wiring as the supervised DP-fast step)
+    disc_step, gen_step = make_adversarial_steps(
+        gen_model, disc_model, generate_fn, gen_opt, disc_opt,
+        gmm_sampler=gmm_sampler, residual_indices=residual_indices,
+        loss_cropping=loss_cropping,
+        relative_weight_discriminator=relative_weight_discriminator,
+        relative_weight_segmentation=relative_weight_segmentation,
+        gradient_penalty_weight=gradient_penalty_weight,
+        mask_lut=mask_lut, need_labels=need_labels,
+        seg_apply=seg_apply, seg_vars=seg_vars, seg_eq=seg_eq,
+        generation_labels=generation_labels, norm_m=norm_m, norm_M=norm_M,
+        fast_forward=fast_forward, compute_dtype=dt, data_mesh=mesh)
 
     # ----- training loop (reference :444-479) -----
     from ..synth.model_inputs import build_model_inputs

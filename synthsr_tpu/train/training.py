@@ -53,6 +53,27 @@ def make_optimizer(lr, lr_decay=0.0):
     return optax.adam(learning_rate=keras_decay_schedule(lr, lr_decay))
 
 
+def vmap_examples(fn):
+    """``jax.vmap`` over the leading example axis — except at batch 1, where
+    the single example is traced directly and the leading axis re-added.
+    Identical math and key stream (vmap at batch 1 applies ``fn`` to exactly
+    ``args[i][0]``), but data-dependent ``lax.cond`` branches inside ``fn``
+    survive as TRUE branches: vmap of a cond on a batched predicate lowers to
+    run-both-and-select, which would erase the win of integrate_vec's
+    runtime-bounded stencil dispatch.  The flagship batch-1 configs and every
+    per-device shard of the DP-fast step (local batch 1) take the direct
+    path."""
+    vfn = jax.vmap(fn)
+
+    def call(*args):
+        if args[0].shape[0] == 1:
+            out = fn(*(a[0] for a in args))
+            return jax.tree.map(lambda x: x[None], out)
+        return vfn(*args)
+
+    return call
+
+
 # ---------------------------------------------------------------------------
 # segmentation regularizer (reference metrics_model.add_seg_loss_to_model:136-215)
 # ---------------------------------------------------------------------------
@@ -212,7 +233,7 @@ def make_train_step(model, generate_fn, optimizer, metrics="l1", loss_cropping=1
             batch = (batch[0], means, stds) + tuple(batch[1:])
         keys = batch_keys(key, bs)
         args = (keys,) + tuple(batch[:4 if use_real_image else 3])
-        gen_out = jax.vmap(generate_fn)(*args)
+        gen_out = vmap_examples(generate_fn)(*args)
         if returns_labels:
             image, target, seg_target = gen_out
         else:

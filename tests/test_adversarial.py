@@ -103,7 +103,7 @@ def test_adversarial_fast_forward_matches_off(adv_dataset, tmp_path):
             path_generation_labels=labels_npy,
             prior_distributions="uniform", batchsize=1, output_channel=None,
             output_shape=16, randomise_res=True, n_levels=2,
-            unet_feat_count=2, nb_conv_per_level=1,
+            unet_feat_count=2, nb_conv_per_level=1, nonlin_std=0,
             simulate_registration_error=False, loss_cropping=12,
             epochs=1, steps_per_epoch=2, first_training_ratio=1,
             training_ratio=1, seed=0, fast_forward=mode, log_fn=lambda s: None)
@@ -112,6 +112,87 @@ def test_adversarial_fast_forward_matches_off(adv_dataset, tmp_path):
                                rtol=1e-5)
     np.testing.assert_allclose(curves["interpret"][1], curves["off"][1],
                                rtol=1e-5)
+
+
+def test_adversarial_dp_fast_matches_single_jit():
+    """make_adversarial_steps with data_mesh over 4 devices (batch 4, fast
+    path) must equal the meshless single-jit fast steps: same D and G losses,
+    same updated parameters — keys and interpolation weights are split for
+    the GLOBAL batch and sliced per device, BN stats/grads/losses pmean-ed
+    over 'data'."""
+    import jax
+    import jax.numpy as jnp
+
+    from synthsr_tpu.models.discriminator import Discriminator3D
+    from synthsr_tpu.models.unet import UNet3D
+    from synthsr_tpu.parallel.mesh import make_data_mesh, replicate, shard_batch
+    from synthsr_tpu.synth.labels_to_image import (GenerationConfig,
+                                                   build_generator)
+    from synthsr_tpu.synth.sampling import make_gmm_sampler
+    from synthsr_tpu.train.adversarial import make_adversarial_steps
+    from synthsr_tpu.train.metrics import doubled_residual_indices
+    from synthsr_tpu.train.training import make_optimizer
+
+    # nonlin_std=0: the SVF-integration subgraph is the single biggest
+    # compile cost and is orthogonal to the DP wiring under test
+    cfg = GenerationConfig(
+        labels_shape=[16, 16, 16], input_channels=[True], output_channel=[0],
+        generation_labels=np.array([0, 2, 4], np.int32), n_neutral_labels=3,
+        atlas_res=[1.0, 1.0, 1.0], output_shape=16, output_div_by_n=4,
+        flipping=True, aff=np.eye(4), randomise_res=False, nonlin_std=0.0,
+        data_res=np.array([[1.0, 1.0, 2.0]]), downsample=True,
+        build_reliability_maps=True, simulate_registration_error=False)
+    generate_fn = build_generator(cfg)
+    gen_model = UNet3D(nb_features=2, nb_levels=2, nb_conv_per_level=1,
+                       nb_labels=1, compute_dtype=jnp.float32)
+    gen_vars = dict(jax.jit(gen_model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 16, 2))))
+    disc_model = Discriminator3D(n_filters=2, n_levels=2)
+    disc_params = dict(jax.jit(disc_model.init)(
+        jax.random.PRNGKey(1), jnp.zeros((1, 16, 16, 16, 1))))["params"]
+    gen_opt, disc_opt = make_optimizer(1e-3), make_optimizer(1e-3)
+    gmm_sampler = make_gmm_sampler(n_labels=3, prior_means=None,
+                                   prior_stds=None,
+                                   prior_distributions="uniform")
+
+    rng = np.random.default_rng(7)
+    batch = (rng.integers(0, 2, (4, 16, 16, 16, 1)).astype(np.int32) * 2,)
+    key = jax.random.PRNGKey(13)
+    mesh = make_data_mesh(4)
+    results = {}
+    for name, data_mesh in (("single", None), ("dp", mesh)):
+        disc_step, gen_step = make_adversarial_steps(
+            gen_model, disc_model, generate_fn, gen_opt, disc_opt,
+            gmm_sampler=gmm_sampler,
+            residual_indices=doubled_residual_indices([0], True),
+            loss_cropping=12, fast_forward="interpret", data_mesh=data_mesh)
+        gp = jax.tree.map(jnp.copy, gen_vars["params"])
+        gb = jax.tree.map(jnp.copy, gen_vars["batch_stats"])
+        dp = jax.tree.map(jnp.copy, disc_params)
+        g_opt_state, d_opt_state = gen_opt.init(gp), disc_opt.init(dp)
+        dev_batch = batch
+        if data_mesh is not None:
+            dev_batch = shard_batch(mesh, batch)
+            gp, gb, dp, g_opt_state, d_opt_state = (
+                replicate(mesh, t)
+                for t in (gp, gb, dp, g_opt_state, d_opt_state))
+        dp, d_opt_state, d_loss = disc_step(gp, gb, dp, d_opt_state, key,
+                                            dev_batch)
+        gp, gb, g_opt_state, g_loss = gen_step(gp, gb, dp, g_opt_state, key,
+                                               dev_batch)
+        results[name] = (jax.device_get(gp), jax.device_get(dp),
+                         float(d_loss), float(g_loss))
+    # per-shard mean + pmean reduces in a different f32 order than the joint
+    # batch mean: agreement is ~1e-6 relative, not bit-exact
+    np.testing.assert_allclose(results["dp"][2], results["single"][2],
+                               rtol=1e-5)
+    np.testing.assert_allclose(results["dp"][3], results["single"][3],
+                               rtol=1e-5)
+    for a, b in ((results["dp"][0], results["single"][0]),
+                 (results["dp"][1], results["single"][1])):
+        for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                       atol=1e-5, rtol=1e-5)
 
 
 def test_adversarial_with_mask(adv_dataset, tmp_path):
@@ -124,7 +205,7 @@ def test_adversarial_with_mask(adv_dataset, tmp_path):
         prior_means=None, prior_stds=None, path_generation_labels=labels_npy,
         prior_distributions="uniform", batchsize=1, output_channel=None,
         output_shape=16, randomise_res=True, n_levels=2, unet_feat_count=2,
-        nb_conv_per_level=1, simulate_registration_error=False,
+        nb_conv_per_level=1, nonlin_std=0, simulate_registration_error=False,
         epochs=1, steps_per_epoch=1, first_training_ratio=1, training_ratio=1,
         labels_to_mask=np.array([0, 1, 1]), seed=0, log_fn=lambda s: None)
     assert np.isfinite(out["d_curve"][0])

@@ -91,6 +91,26 @@ def test_fast_train_grads_match_model_apply():
     _tree_allclose(gf, gr, atol=1e-5)
 
 
+def test_vmap_examples_matches_vmap():
+    """The batch-1 vmap bypass (kept so integrate_vec's runtime-bounded
+    lax.cond stays a true branch) must reproduce jax.vmap exactly at batch 1
+    and fall through to vmap at batch > 1 — including the per-example key
+    stream."""
+    from synthsr_tpu.train.training import vmap_examples
+
+    def fn(key, x):
+        return jax.random.uniform(key, x.shape) + x, 2.0 * x
+
+    for b in (1, 3):
+        keys = jax.random.split(jax.random.PRNGKey(0), b)
+        x = jnp.arange(b * 4, dtype=jnp.float32).reshape(b, 4)
+        ref = jax.vmap(fn)(keys, x)
+        got = vmap_examples(fn)(keys, x)
+        for r, g in zip(ref, got):
+            assert r.shape == g.shape
+            np.testing.assert_array_equal(np.asarray(r), np.asarray(g))
+
+
 def test_make_train_step_fast_forward_wiring():
     """fast_forward='interpret' in make_train_step must reproduce the 'off'
     step bit-for-bit-ish (same loss, same params) — here at a non-qualifying
@@ -100,11 +120,14 @@ def test_make_train_step_fast_forward_wiring():
     from synthsr_tpu.train.metrics import doubled_residual_indices
     from synthsr_tpu.train.training import make_optimizer, make_train_step
 
+    # nonlin_std=0: the SVF-integration subgraph is the single biggest
+    # compile cost and orthogonal to the fast-forward wiring under test
+    # (the driver dryrun covers the elastic graph every round)
     cfg = GenerationConfig(
         labels_shape=[16, 16, 16], input_channels=[True], output_channel=[0],
         generation_labels=np.array([0, 2, 4], np.int32), n_neutral_labels=3,
         atlas_res=[1.0, 1.0, 1.0], output_shape=16, output_div_by_n=4,
-        flipping=True, aff=np.eye(4), randomise_res=False,
+        flipping=True, aff=np.eye(4), randomise_res=False, nonlin_std=0.0,
         data_res=np.array([[1.0, 1.0, 2.0]]), downsample=True,
         build_reliability_maps=True, simulate_registration_error=False)
     generate_fn = build_generator(cfg)
@@ -208,11 +231,12 @@ def test_make_train_step_dp_fast_matches_single_jit():
     from synthsr_tpu.train.metrics import doubled_residual_indices
     from synthsr_tpu.train.training import make_optimizer, make_train_step
 
+    # nonlin_std=0: see test_make_train_step_fast_forward_wiring
     cfg = GenerationConfig(
         labels_shape=[16, 16, 16], input_channels=[True], output_channel=[0],
         generation_labels=np.array([0, 2, 4], np.int32), n_neutral_labels=3,
         atlas_res=[1.0, 1.0, 1.0], output_shape=16, output_div_by_n=4,
-        flipping=True, aff=np.eye(4), randomise_res=False,
+        flipping=True, aff=np.eye(4), randomise_res=False, nonlin_std=0.0,
         data_res=np.array([[1.0, 1.0, 2.0]]), downsample=True,
         build_reliability_maps=True, simulate_registration_error=False)
     generate_fn = build_generator(cfg)
