@@ -92,6 +92,60 @@ def interpn(vol: jnp.ndarray, loc: jnp.ndarray, method: str = "linear") -> jnp.n
     return out[..., 0] if squeeze_ch else out
 
 
+def interpn_packed(vol: jnp.ndarray, loc: jnp.ndarray) -> jnp.ndarray:
+    """Trilinear ``interpn`` via ONE wide gather of a packed corner table.
+
+    Builds a (nvox, 8·C) table whose row i holds the 8 corner values of cell
+    i (vol edge-padded by one on the high side, so ``idx0+1`` is always
+    valid), then gathers one row per sample instead of 8 scalar-row gathers.
+    TPU gathers pay per ROW, so the 8× wider row is ~free while the gather
+    count drops 8× — at the cost of materializing the 8× table (cheap,
+    sequential HBM writes).  Same math as ``interpn``'s linear path — same
+    corner set, weights and accumulation order (edge samples hit padded rows
+    that replicate the edge value, so the different weight-split at the
+    boundary multiplies equal values) — equal up to 1-ulp f32 rounding in
+    the weight computation.
+
+    3-D only.  Reference semantics: neuron/utils.py:25-124."""
+    ndims = loc.shape[-1]
+    assert ndims == 3, "interpn_packed is 3-D only"
+    squeeze_ch = vol.ndim == ndims
+    if squeeze_ch:
+        vol = vol[..., None]
+    spatial = vol.shape[:-1]
+    nc = vol.shape[-1]
+    # high-side edge pad: corner idx0+1 at the boundary reads the replica
+    padded = jnp.pad(vol, [(0, 1)] * 3 + [(0, 0)], mode="edge")
+    X, Y, Z = spatial
+    # packed[i, c] = vol cell-corner c of cell i (C-order over (X, Y, Z))
+    corners = []
+    for cx in (0, 1):
+        for cy in (0, 1):
+            for cz in (0, 1):
+                corners.append(jax.lax.slice(
+                    padded, (cx, cy, cz, 0), (cx + X, cy + Y, cz + Z, nc)))
+    packed = jnp.concatenate(corners, axis=-1).reshape(-1, 8 * nc)
+
+    loc = loc.astype(jnp.float32)
+    clipped = [jnp.clip(loc[..., d], 0, spatial[d] - 1) for d in range(3)]
+    loc0 = jnp.floor(loc)
+    idx0 = [jnp.clip(loc0[..., d], 0, spatial[d] - 1).astype(jnp.int32)
+            for d in range(3)]
+    w_hi = [clipped[d] - idx0[d].astype(jnp.float32) for d in range(3)]
+    rows = jnp.take(packed, (idx0[0] * Y + idx0[1]) * Z + idx0[2], axis=0)
+    out = 0.0
+    c = 0
+    for cx in (0, 1):
+        for cy in (0, 1):
+            for cz in (0, 1):
+                wt = ((w_hi[0] if cx else 1.0 - w_hi[0])
+                      * (w_hi[1] if cy else 1.0 - w_hi[1])
+                      * (w_hi[2] if cz else 1.0 - w_hi[2]))
+                out = out + wt[..., None] * rows[..., c * nc:(c + 1) * nc]
+                c += 1
+    return out[..., 0] if squeeze_ch else out
+
+
 def transform(vol: jnp.ndarray, loc_shift: jnp.ndarray, method: str = "linear"):
     """Warp ``vol`` by a dense shift field (ref neuron/utils.py:289-320).
 
@@ -215,7 +269,8 @@ def stencil_warp(vol: jnp.ndarray, shift: jnp.ndarray, radius: int):
 
 def integrate_vec(vec: jnp.ndarray, nb_steps: int = 7,
                   max_displacement: float | None = None,
-                  stencil_radius_cap: int = 3):
+                  stencil_radius_cap: int = 3,
+                  runtime_stencil: bool | None = None):
     """Integrate a stationary velocity field by scaling-and-squaring
     (ref neuron/utils.py:323-386, method='ss').
 
@@ -226,18 +281,36 @@ def integrate_vec(vec: jnp.ndarray, nb_steps: int = 7,
     so early squaring steps can run as exact stencil warps (see stencil_warp)
     instead of gathers; steps whose bound exceeds ``stencil_radius_cap`` fall
     back to the gather. Identical results for fields within the bound.
+
+    ``runtime_stencil``: over-cap steps dispatch at RUNTIME on the realized
+    ``max |v_j|`` — the static bound is the loose 4σ clip of the raw draw,
+    while the integrated field is usually well inside the stencil cap, so
+    the common case takes the stencil and only tail draws pay the gather.
+    Both branches are exact, so this only reorders f32 rounding.  NOTE: the
+    dispatch survives as a true branch only OUTSIDE ``jax.vmap`` (vmap turns
+    a batched-predicate ``cond`` into run-both-and-select) — the train step
+    calls the generator unvmapped at local batch 1 for exactly this reason.
+    Default: $SYNTHSR_RUNTIME_STENCIL (off unless set to 1).
     """
+    import math
+    import os
+
     if nb_steps == 0:
         return vec
     vec = vec / (2 ** nb_steps)
 
-    if max_displacement is None:
+    # SYNTHSR_SVF_GATHER=1: ignore the stencil fast path entirely (all
+    # squaring steps as 8-corner gathers) — A/B switch for the integration
+    # policy; see the round-4 probe notes in STATUS.md
+    if max_displacement is None or \
+            os.environ.get("SYNTHSR_SVF_GATHER", "0") == "1":
         def body(_, v):
             return v + transform(v, v, method="linear")
 
         return jax.lax.fori_loop(0, nb_steps, body, vec)
 
-    import math
+    if runtime_stencil is None:
+        runtime_stencil = os.environ.get("SYNTHSR_RUNTIME_STENCIL", "0") == "1"
 
     v = vec
     for j in range(nb_steps):
@@ -245,6 +318,11 @@ def integrate_vec(vec: jnp.ndarray, nb_steps: int = 7,
         radius = max(1, int(math.ceil(bound)))
         if radius <= stencil_radius_cap:
             v = v + stencil_warp(v, v, radius)
+        elif runtime_stencil:
+            v = v + jax.lax.cond(
+                jnp.max(jnp.abs(v)) <= float(stencil_radius_cap),
+                lambda u: stencil_warp(u, u, stencil_radius_cap),
+                lambda u: transform(u, u, method="linear"), v)
         else:
             v = v + transform(v, v, method="linear")
     return v

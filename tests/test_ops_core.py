@@ -51,6 +51,26 @@ def test_interpn_multichannel(rng):
         np.testing.assert_allclose(out[:, c], oracle, atol=1e-4)
 
 
+def test_interpn_packed_matches_interpn(rng):
+    """The packed-corner single-gather trilinear path must reproduce
+    interpn's linear path (incl. out-of-bounds edge replication and
+    multi-channel), up to 1-ulp weight rounding."""
+    vol = rng.normal(size=(9, 10, 11, 3)).astype(np.float32)
+    coords = rng.uniform(-1.5, 11.5, size=(7, 13, 3)).astype(np.float32)
+    ref = np.asarray(interp.interpn(jnp.asarray(vol), jnp.asarray(coords),
+                                    "linear"))
+    got = np.asarray(interp.interpn_packed(jnp.asarray(vol),
+                                           jnp.asarray(coords)))
+    np.testing.assert_allclose(got, ref, atol=1e-6, rtol=1e-6)
+    # channel-less volume keeps the squeezed output shape
+    ref1 = np.asarray(interp.interpn(jnp.asarray(vol[..., 0]),
+                                     jnp.asarray(coords), "linear"))
+    got1 = np.asarray(interp.interpn_packed(jnp.asarray(vol[..., 0]),
+                                            jnp.asarray(coords)))
+    assert got1.shape == ref1.shape
+    np.testing.assert_allclose(got1, ref1, atol=1e-6, rtol=1e-6)
+
+
 def test_transform_zero_shift_is_identity(rng):
     vol = rng.normal(size=(5, 6, 7)).astype(np.float32)
     shift = np.zeros((5, 6, 7, 3), np.float32)
