@@ -86,9 +86,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 # Dispatch preference between the plane-streaming (v6) and folded-plane
 # ("flat") kernels at shapes where BOTH qualify (128-multiple widths).
-# Micro-probes at 128-cubed >=24ch shapes showed flat 1.03-1.19x faster than
-# planes, but per-kernel timings through the tunneled chip under-measure —
-# the end-to-end benches (bench.py / bench_train.py) are the arbiter.
+# Fifth recorded negative result (round 4): micro-probes at 128-cubed
+# >=24ch shapes showed flat 1.03-1.19x faster than planes, but the
+# END-TO-END A/B (tools/ab_flat.sh, the arbiter — per-kernel timings
+# through the tunneled chip under-measure) refuted the flip: 256^3 predict
+# 175.7 (planes) vs 156.8 (flat) vol/min, 128^3 synth-train 7.81 vs 7.74
+# steps/s.  Planes stays preferred wherever it qualifies; flat keeps the
+# non-128-multiple widths where planes can't run.
 # SYNTHSR_PREFER_FLAT=0/1 overrides for A/B runs; read once at import.
 PREFER_FLAT = os.environ.get("SYNTHSR_PREFER_FLAT", "0") == "1"
 

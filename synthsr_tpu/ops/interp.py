@@ -146,16 +146,23 @@ def interpn_packed(vol: jnp.ndarray, loc: jnp.ndarray) -> jnp.ndarray:
     return out[..., 0] if squeeze_ch else out
 
 
-def transform(vol: jnp.ndarray, loc_shift: jnp.ndarray, method: str = "linear"):
+def transform(vol: jnp.ndarray, loc_shift: jnp.ndarray, method: str = "linear",
+              packed: bool = False):
     """Warp ``vol`` by a dense shift field (ref neuron/utils.py:289-320).
 
     Output at x takes data from ``vol[x + loc_shift[x]]``.
     ``loc_shift``: (*spatial, ndims).
+
+    ``packed``: route linear warps through the packed-corner single gather
+    (``interpn_packed``, 3.7× on big-table warps; costs an 8× table
+    materialization, so keep it for full-volume warps, not tiny fields).
     """
     spatial = loc_shift.shape[:-1]
     ndims = loc_shift.shape[-1]
     mesh = ndgrid(spatial)
     loc = jnp.stack([mesh[d] + loc_shift[..., d] for d in range(ndims)], axis=-1)
+    if packed and method == "linear" and ndims == 3:
+        return interpn_packed(vol, loc)
     return interpn(vol, loc, method=method)
 
 
@@ -290,7 +297,11 @@ def integrate_vec(vec: jnp.ndarray, nb_steps: int = 7,
     dispatch survives as a true branch only OUTSIDE ``jax.vmap`` (vmap turns
     a batched-predicate ``cond`` into run-both-and-select) — the train step
     calls the generator unvmapped at local batch 1 for exactly this reason.
-    Default: $SYNTHSR_RUNTIME_STENCIL (off unless set to 1).
+    Default ON via $SYNTHSR_RUNTIME_STENCIL (round-4 A/B, tools/ab_svf.sh:
+    7.665 -> 8.009 steps/s on bench_train; the all-gather policy
+    SYNTHSR_SVF_GATHER=1 measured 3.828 — a recorded negative: in-context
+    gathers are ~2x the whole stencil mix even though a STANDALONE squaring
+    gather probes at 0.15 ms, tools/probe_warp.py).
     """
     import math
     import os
@@ -310,7 +321,16 @@ def integrate_vec(vec: jnp.ndarray, nb_steps: int = 7,
         return jax.lax.fori_loop(0, nb_steps, body, vec)
 
     if runtime_stencil is None:
-        runtime_stencil = os.environ.get("SYNTHSR_RUNTIME_STENCIL", "0") == "1"
+        runtime_stencil = os.environ.get("SYNTHSR_RUNTIME_STENCIL", "1") == "1"
+    if runtime_stencil:
+        try:  # under vmap (batch >= 2) a cond runs BOTH branches — costs
+            # strictly more than the static gather; keep the static dispatch
+            from jax.interpreters.batching import BatchTracer
+
+            if isinstance(vec, BatchTracer):
+                runtime_stencil = False
+        except ImportError:  # pragma: no cover - jax internals moved
+            pass
 
     v = vec
     for j in range(nb_steps):

@@ -140,7 +140,10 @@ def random_spatial_deformation(key, vols, methods, scaling_bounds=0.15,
 
     outs = []
     for v, m in zip(vols, methods):
-        warped = interp.transform(v.astype(jnp.float32), shift, method=m)
+        # linear warps (real images) ride the packed-corner single gather:
+        # 3.7x the 8-gather form at full-volume tables (tools/probe_warp.py)
+        warped = interp.transform(v.astype(jnp.float32), shift, method=m,
+                                  packed=True)
         if prob_deform < 1.0:
             gate = bernoulli(k_prob, prob_deform)
             warped = jnp.where(gate, warped, v.astype(jnp.float32))
@@ -229,7 +232,12 @@ def random_spatial_deformation_cropped(key, key_crop, vols, methods,
 
     outs = []
     for v, m in zip(vols, methods):
-        warped = interp.interpn(v.astype(jnp.float32), loc, method=m)
+        # linear warps (real images) ride the packed-corner single gather:
+        # 142 -> 38 ms at (160,217,160) -> 128^3 (tools/probe_warp.py)
+        if m == "linear":
+            warped = interp.interpn_packed(v.astype(jnp.float32), loc)
+        else:
+            warped = interp.interpn(v.astype(jnp.float32), loc, method=m)
         if prob_deform < 1.0:
             gate = bernoulli(k_prob, prob_deform)
             warped = jnp.where(gate, warped, plain_crop(v.astype(jnp.float32)))
