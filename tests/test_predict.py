@@ -119,6 +119,41 @@ def test_predict_file_end_to_end(tmp_path, random_weights_h5):
     assert pred.min() >= 0.0 and pred.max() <= 128.0  # output contract
 
 
+def test_run_batch_matches_serial(tmp_path):
+    """Pipelined directory mode (loader/writer threads) produces byte-identical
+    outputs, in order, to the serial per-file loop; loader exceptions surface.
+    The device pipeline itself is covered by test_predict_file_end_to_end —
+    here a stub predictor keeps the threading mechanics cheap to test."""
+    from synthsr_tpu.cli.predict import run_batch
+
+    class StubPredictor:
+        def predict_volume(self, im, aff):
+            return np.asarray(im, np.float32) * 2.0 + 1.0, aff
+
+    rng = np.random.default_rng(11)
+    d_in = tmp_path / "in"
+    d_in.mkdir()
+    images, vols = [], []
+    for i in range(4):
+        vol = rng.uniform(0, 500, size=(9, 10, 11)).astype(np.float32)
+        p = str(d_in / f"v{i}.nii.gz")
+        save_volume(vol, np.eye(4), None, p)
+        images.append(p)
+        vols.append(vol)
+
+    outs = [str(tmp_path / f"o{i}.nii.gz") for i in range(4)]
+    run_batch(StubPredictor(), images, outs)
+    for pout, vol in zip(outs, vols):
+        got = load_volume(pout)
+        # save_volume round-trips through the NIfTI writer like the serial path
+        np.testing.assert_allclose(got, vol * 2.0 + 1.0, rtol=1e-6)
+
+    # a loader failure must raise in the caller, not hang the pipeline
+    with pytest.raises(Exception):
+        run_batch(StubPredictor(), [str(d_in / "missing.nii.gz")],
+                  [str(tmp_path / "x.nii.gz")])
+
+
 def test_predict_ct_clipping(tmp_path, random_weights_h5):
     from synthsr_tpu.cli.predict import Predictor
 
