@@ -75,7 +75,12 @@ def main():
             jax.random.split(k_gmm, labels.shape[0]))
         keys = jax.random.split(key, labels.shape[0])
         image, target = jax.vmap(generate_fn)(keys, labels, means, stds)
-        return new_key, image, target
+        # checksum depends on every output value: float(checksum) below is a
+        # TRUE device sync — on this tunneled platform block_until_ready can
+        # return at dispatch-accept, which made the first version of this
+        # bench report a physically impossible 2180 pairs/s
+        checksum = jnp.mean(image) + jnp.mean(target)
+        return new_key, image, target, checksum
 
     gen = build_model_inputs(path_label_maps=bg.labels_paths,
                              n_labels=len(generation_labels),
@@ -86,18 +91,19 @@ def main():
     jax.block_until_ready(batches)
 
     key = jax.random.PRNGKey(0)
-    key, image, target = generate(key, batches[0])
-    jax.block_until_ready((image, target))
+    key, image, target, checksum = generate(key, batches[0])
+    _ = float(checksum)
 
     n, lag = 50, 2
     pending = []
     t0 = time.time()
     for i in range(n):
-        key, image, target = generate(key, batches[i % len(batches)])
-        pending.append((image, target))
+        key, image, target, checksum = generate(key, batches[i % len(batches)])
+        pending.append(checksum)
         if len(pending) > lag:
-            jax.block_until_ready(pending.pop(0))
-    jax.block_until_ready(pending)
+            _ = float(pending.pop(0))
+    for c in pending:
+        _ = float(c)
     dt = time.time() - t0
     pairs_per_sec = n / dt
 

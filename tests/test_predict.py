@@ -106,7 +106,9 @@ def test_reslice_like_shifted_grid(rng):
 def test_predict_file_end_to_end(tmp_path, random_weights_h5):
     from synthsr_tpu.cli.predict import Predictor
 
-    pin, vol, aff = _make_input(tmp_path)
+    # (20, 22, 18) resamples to (40, 33, 54) -> pads to (64, 64, 64): the
+    # smallest shape that still exercises resample + RAS + pad + unpad
+    pin, vol, aff = _make_input(tmp_path, shape=(20, 22, 18))
     predictor = Predictor(model_path=random_weights_h5, compute_dtype="float32")
     pout = str(tmp_path / "out.nii.gz")
     predictor.predict_file(pin, pout)

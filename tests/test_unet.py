@@ -185,7 +185,7 @@ def test_fast_cf_forward_matches_flax_two_channels():
             "var": jnp.asarray(rng.uniform(0.5, 1.5, size=t["var"].shape)
                                .astype(np.float32))}
         for l, t in variables["batch_stats"].items()}
-    x = jnp.asarray(rng.normal(size=(1, 32, 32, 128, 2)).astype(np.float32))
+    x = jnp.asarray(rng.normal(size=(1, 16, 32, 128, 2)).astype(np.float32))
     a = np.asarray(model.apply(variables, x))
     run = make_fast_predictor(model, variables, x.shape, interpret=True)
     b = np.asarray(run(x))
@@ -365,7 +365,10 @@ def test_fast_cf_forward_matches_flax():
             "var": jnp.asarray(rng.uniform(0.5, 1.5, size=t["var"].shape)
                                .astype(np.float32))}
         for l, t in variables["batch_stats"].items()}
-    x = jnp.asarray(rng.normal(size=(1, 32, 32, 128, 1)).astype(np.float32))
+    # (16, 32, 128) keeps the same kernel-dispatch coverage as 32³×128 at
+    # half the interpret-mode cost: planes at level 0, flat at level 1
+    # ((8, 16, 64): H·W = 1024), XLA fallback below
+    x = jnp.asarray(rng.normal(size=(1, 16, 32, 128, 1)).astype(np.float32))
     a = np.asarray(model.apply(variables, x))
     b = np.asarray(fast_unet_forward(model, variables, x, interpret=True,
                                      dtype=jnp.float32))
@@ -376,17 +379,11 @@ def test_fast_cf_forward_matches_flax():
                                      dtype=jnp.float32, resume_state=st))
     np.testing.assert_allclose(a, c, rtol=2e-4, atol=1e-4)
 
-    # flip-TTA weight trick: net(flip_D(x)) == flip_D(net_fd(x)) with every
-    # conv kernel flipped along D (exact flip equivariance of the U-Net)
+    # flip-TTA weight trick (net_fd(x) == flip(net(flip(x))) with every conv
+    # kernel flipped along D): checked below against the FLAX forward —
+    # fast == flax is established by a == b above, so an interpret-mode
+    # flipped-input pass would re-prove the same identity at 2x the cost
     from synthsr_tpu.models.unet_cf import flip_d_variables
-
-    ref = np.asarray(fast_unet_forward(
-        model, variables, jnp.flip(x, axis=1), interpret=True,
-        dtype=jnp.float32))
-    tta = np.flip(np.asarray(fast_unet_forward(
-        model, flip_d_variables(variables), x, interpret=True,
-        dtype=jnp.float32)), axis=1)
-    np.testing.assert_allclose(ref, tta, rtol=2e-4, atol=1e-4)
 
     # TTA alignment regression (round-2 advisor HIGH finding): the fast TTA
     # pass net_fd(x) must equal the aligned slow pass flip(net(flip(x)))

@@ -29,15 +29,22 @@ from synthsr_tpu.ops import interp  # noqa: E402
 
 
 def timeit(f, *args, n=30):
-    y = f(*args)
-    jax.block_until_ready(y)
+    """Value-readback timing: float(sum) is a TRUE sync — block_until_ready
+    can return at dispatch-accept on the tunneled axon platform (it reported
+    a physically impossible 2180 pairs/s in bench_generate.py's first
+    version), so every probe sync must read a value back."""
+    def chk(y):
+        return jax.tree.reduce(lambda a, b: a + jnp.sum(b), y, 0.0)
+
+    _ = float(chk(f(*args)))
     t0 = time.perf_counter()
     pending = []
     for _ in range(n):
-        pending.append(f(*args))
+        pending.append(chk(f(*args)))
         if len(pending) > 2:
-            jax.block_until_ready(pending.pop(0))
-    jax.block_until_ready(pending)
+            _ = float(pending.pop(0))
+    for c in pending:
+        _ = float(c)
     return (time.perf_counter() - t0) / n * 1000.0
 
 
