@@ -84,7 +84,7 @@ def main():
         gen_model, disc_model, generate_fn, gen_opt, disc_opt,
         gmm_sampler=gmm_sampler,
         residual_indices=doubled_residual_indices(None, False),
-        loss_cropping=96, fast_forward="auto")
+        loss_cropping=96, fast_forward="auto", compute_dtype=jnp.bfloat16)
 
     gen = build_model_inputs(path_label_maps=bg.labels_paths,
                              n_labels=len(generation_labels),

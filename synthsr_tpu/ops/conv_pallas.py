@@ -59,6 +59,16 @@ rejected.  (Fourth: the v5 blocked kernel at 64-cubed training shapes loses
 to XLA's channels-last conv, 3.04 vs 2.18 ms at 24->48 — half-empty lanes
 plus the strided-chunk DMA; 64-cubed levels stay channels-last XLA.)
 
+Roofline (round 4): the wide dot is (M=3·C_out, K=9·C_in, N=H·W).  At the
+24-feature levels M=72 of the MXU's 128 PE rows — a 56% structural ceiling
+(~110 of ~197 TF/s v5e bf16 peak) inherent to the formulation; M=3·C_out is
+its maximum (the 27-tap alternative gives M=C_out=24, strictly worse).
+Measured 24ch 256³: 20.8 ms = 522 GFLOP -> 25 TF/s = 23% of that ceiling;
+the gap is patch-build VPU copies + halo DMA + f32 acc traffic, each bounded
+by one of the five recorded negative probes (this docstring + the
+PREFER_FLAT note below).  XLA's channels-last conv at the same shape:
+~10 TF/s.
+
 Mosaic constraints baked in (each cost a compile attempt): values can't be
 dynamically sliced (slice refs via pl.ds), dynamic sublane starts must be
 8-aligned (hence the +8 H padding and static dy shifts in v5; v6 lands

@@ -330,7 +330,7 @@ def training(labels_dir,
              training_ratio=10,
              labels_to_mask=None,
              seed=None,
-             compute_dtype="float32",
+             compute_dtype="bfloat16",
              n_devices=None,
              fast_forward="auto",
              log_fn=print):

@@ -80,7 +80,8 @@ def test_adversarial_short_run(adv_dataset, tmp_path):
         simulate_registration_error=False, loss_cropping=12,
         epochs=1, steps_per_epoch=2, first_training_ratio=2, training_ratio=1,
         lr_generator=1e-3, lr_discriminator=1e-3, seed=0, batchsize=2,
-        n_devices=2, log_fn=lambda s: logs.append(s))
+        n_devices=2, compute_dtype="float32",
+        log_fn=lambda s: logs.append(s))
     assert np.isfinite(out["d_curve"][0]) and np.isfinite(out["g_curve"][0])
     assert os.path.isfile(os.path.join(model_dir, "generator_1.h5"))
     assert os.path.isfile(os.path.join(model_dir, "discriminator_1.h5"))
@@ -106,7 +107,8 @@ def test_adversarial_fast_forward_matches_off(adv_dataset, tmp_path):
             unet_feat_count=2, nb_conv_per_level=1, nonlin_std=0,
             simulate_registration_error=False, loss_cropping=12,
             epochs=1, steps_per_epoch=2, first_training_ratio=1,
-            training_ratio=1, seed=0, fast_forward=mode, log_fn=lambda s: None)
+            training_ratio=1, seed=0, fast_forward=mode,
+            compute_dtype="float32", log_fn=lambda s: None)
         curves[mode] = (out["d_curve"], out["g_curve"])
     np.testing.assert_allclose(curves["interpret"][0], curves["off"][0],
                                rtol=1e-5)
@@ -207,5 +209,6 @@ def test_adversarial_with_mask(adv_dataset, tmp_path):
         output_shape=16, randomise_res=True, n_levels=2, unet_feat_count=2,
         nb_conv_per_level=1, nonlin_std=0, simulate_registration_error=False,
         epochs=1, steps_per_epoch=1, first_training_ratio=1, training_ratio=1,
-        labels_to_mask=np.array([0, 1, 1]), seed=0, log_fn=lambda s: None)
+        labels_to_mask=np.array([0, 1, 1]), seed=0,
+        compute_dtype="float32", log_fn=lambda s: None)
     assert np.isfinite(out["d_curve"][0])

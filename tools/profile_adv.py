@@ -20,15 +20,23 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def timeit(f, n=20, lag=2):
-    out = f()
-    jax.block_until_ready(out)
+    """Value-readback timing: float() of a scalar derived from one output
+    leaf is a TRUE sync (block_until_ready can return at dispatch-accept on
+    the tunneled platform).  The jitted step is one executable, so reading
+    any one of its outputs forces the whole step to finish."""
+    def chk(out):
+        leaf = jax.tree.leaves(out)[0]
+        return jnp.sum(jnp.asarray(leaf, jnp.float32))
+
+    _ = float(chk(f()))
     pending = []
     t0 = time.perf_counter()
     for _ in range(n):
-        pending.append(f())
+        pending.append(chk(f()))
         if len(pending) > lag:
-            jax.block_until_ready(pending.pop(0))
-    jax.block_until_ready(pending)
+            _ = float(pending.pop(0))
+    for c in pending:
+        _ = float(c)
     return (time.perf_counter() - t0) / n * 1000.0
 
 
@@ -79,7 +87,7 @@ def main():
         gen_model, disc_model, generate_fn, gen_opt, disc_opt,
         gmm_sampler=gmm_sampler,
         residual_indices=doubled_residual_indices(None, False),
-        loss_cropping=96, fast_forward="auto")
+        loss_cropping=96, fast_forward="auto", compute_dtype=jnp.bfloat16)
 
     gen = build_model_inputs(path_label_maps=bg.labels_paths,
                              n_labels=len(generation_labels),
@@ -118,6 +126,33 @@ def main():
           flush=True)
     print(f"gen_step  (full)   : "
           f"{timeit(lambda: gen_step(gp, gb, dp, g_opt_state, k2, batch)):8.2f} ms",
+          flush=True)
+
+    # decomposition: generation alone and the G fake forward alone (same
+    # shapes/dtypes as inside disc_step) — the basis for the
+    # discriminator-kernel decision
+    from synthsr_tpu.models.unet_cf import fast_unet_forward
+    from synthsr_tpu.train.training import vmap_examples
+
+    @jax.jit
+    def gen_alone(key, batch):
+        bs = batch[0].shape[0]
+        key, k_gmm = jax.random.split(key)
+        means, stds = jax.vmap(gmm_sampler)(jax.random.split(k_gmm, bs))
+        b = (batch[0], means, stds) + tuple(batch[1:])
+        return vmap_examples(generate_fn)(jax.random.split(key, bs), *b)
+
+    print(f"generation alone   : "
+          f"{timeit(lambda: gen_alone(key, batch)):8.2f} ms", flush=True)
+
+    img = gen_alone(key, batch)[0]
+
+    @jax.jit
+    def g_fwd(img):
+        return fast_unet_forward(gen_model, {"params": gp, "batch_stats": gb},
+                                 img, dtype=jnp.bfloat16)
+
+    print(f"G fake fwd (fast)  : {timeit(lambda: g_fwd(img)):8.2f} ms",
           flush=True)
 
     if "--trace" in sys.argv:
