@@ -146,6 +146,15 @@ def make_adversarial_steps(gen_model, disc_model, generate_fn, gen_opt,
     def disc_apply(p, x, mask=None):
         return disc_model.apply({"params": p}, x, mask)
 
+    # Same params, s2d stride-2 decomposition: measurably faster on the
+    # second-order gradient-penalty path only (57.9 vs 69.6 ms at 128³
+    # bf16; the strided impl stays fastest for forward/first-order — see
+    # models/discriminator.py docstring for the full A/B table).
+    disc_gp_model = disc_model.clone(stride2_impl="s2d")
+
+    def disc_apply_gp(p, x, mask=None):
+        return disc_gp_model.apply({"params": p}, x, mask)
+
     def _generate(key, batch):
         bs = batch[0].shape[0]
         key, k_gmm = jax.random.split(key)
@@ -198,7 +207,7 @@ def make_adversarial_steps(gen_model, disc_model, generate_fn, gen_opt,
                 axis_name="data" if use_dp_fast else None)
             d_real = disc_apply(dp, target, mask)
             d_fake = disc_apply(dp, fake, mask)
-            gp = gradient_penalty(disc_apply, dp, x_hat, mask,
+            gp = gradient_penalty(disc_apply_gp, dp, x_hat, mask,
                                   gradient_penalty_weight)
             return jnp.mean(-d_real) + jnp.mean(d_fake) + gp
 

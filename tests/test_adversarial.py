@@ -65,6 +65,44 @@ def test_discriminator_shapes():
     assert not np.allclose(np.asarray(out_masked), np.asarray(out_unmasked))
 
 
+def test_s2d_stride2_conv_matches_strided():
+    """The critic's space-to-depth stride-2 conv equals the plain strided
+    conv (forward AND input gradient) — exact regrouping of the 27 taps."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from synthsr_tpu.models.discriminator import _Conv3x3Stride2
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 12, 8, 10, 3)), jnp.float32)
+    m = _Conv3x3Stride2(5)
+    params = m.init(jax.random.PRNGKey(0), x)
+    kernel = params["params"]["kernel"]
+    bias = params["params"]["bias"]
+
+    def ref_fn(x):
+        y = lax.conv_general_dilated(
+            x, kernel, (2, 2, 2), "SAME",
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+        return y + bias
+
+    out = m.apply(params, x)
+    ref = ref_fn(x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+    # input gradient parity (the WGAN-GP path differentiates through it)
+    g_s2d = jax.grad(lambda x: jnp.sum(m.apply(params, x) ** 2))(x)
+    g_ref = jax.grad(lambda x: jnp.sum(ref_fn(x) ** 2))(x)
+    np.testing.assert_allclose(np.asarray(g_s2d), np.asarray(g_ref),
+                               rtol=1e-4, atol=1e-4)
+    # odd-dim fallback hits the strided path
+    x_odd = jnp.asarray(rng.standard_normal((1, 9, 8, 10, 3)), jnp.float32)
+    np.testing.assert_allclose(np.asarray(m.apply(params, x_odd)),
+                               np.asarray(ref_fn(x_odd)),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_adversarial_short_run(adv_dataset, tmp_path):
     from synthsr_tpu.train.adversarial import training
 
