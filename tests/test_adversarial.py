@@ -114,7 +114,7 @@ def test_adversarial_short_run(adv_dataset, tmp_path):
         prior_means=None, prior_stds=None, path_generation_labels=labels_npy,
         prior_distributions="uniform", input_channels=True,
         output_channel=None, output_shape=16, randomise_res=True,
-        n_levels=2, unet_feat_count=2, nb_conv_per_level=1,
+        n_levels=2, unet_feat_count=2, nb_conv_per_level=1, nonlin_std=0,
         simulate_registration_error=False, loss_cropping=12,
         epochs=1, steps_per_epoch=2, first_training_ratio=2, training_ratio=1,
         lr_generator=1e-3, lr_discriminator=1e-3, seed=0, batchsize=2,

@@ -31,7 +31,10 @@ def test_dryrun_multichip_self_provisions():
 
 def test_dryrun_multichip_inprocess_with_live_backend():
     # conftest already initialized an 8-fake-device CPU backend: the function
-    # must use it rather than trying (and failing) to re-provision.
+    # must use it rather than trying (and failing) to re-provision.  One
+    # phase suffices for that property — the slow-marked subprocess test and
+    # the driver (every round, MULTICHIP_r*.json) run all four; dp_fast is
+    # the most representative (shard_map + Pallas-interpret + pmean-ed BN).
     from __graft_entry__ import dryrun_multichip
 
-    dryrun_multichip(8)
+    dryrun_multichip(8, phases=("dp_fast",))

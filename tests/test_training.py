@@ -33,7 +33,12 @@ def _base_kwargs(lab_dir, labels_npy, model_dir):
         loss_cropping=12, n_levels=2, unet_feat_count=2, nb_conv_per_level=1,
         lr=1e-3, epochs=2, steps_per_epoch=3, regression_metric="l1",
         simulate_registration_error=False, seed=0, compute_dtype="float32",
-        n_devices=2)
+        # nonlin_std=0 skips the SVF-integration subgraph — by far the most
+        # expensive compile + per-step cost on the CPU test backend, and
+        # orthogonal to the LOOP mechanics (resume/checkpoints/logs/dropout/
+        # warm-start/metrics) these tests target.  test_training_loss_decreases
+        # restores the default to keep one full-graph in-loop run.
+        nonlin_std=0.0, n_devices=2)
 
 
 def test_training_short_run_and_resume(tiny_dataset, tmp_path):
@@ -66,7 +71,8 @@ def test_training_loss_decreases(tiny_dataset, tmp_path):
 
     lab_dir, labels_npy, _ = tiny_dataset
     kwargs = _base_kwargs(lab_dir, labels_npy, str(tmp_path / "m2"))
-    kwargs.update(epochs=4, steps_per_epoch=6, lr=3e-3)
+    # full generation graph (SVF deformation on): the one in-loop run of it
+    kwargs.update(epochs=2, steps_per_epoch=3, lr=3e-3, nonlin_std=4.0)
     out = training(**kwargs)
     curve = out["loss_curve"]
     assert curve[-1] < curve[0]
@@ -184,7 +190,7 @@ def test_nan_loss_gates_updates_and_aborts_per_step():
         labels_shape=[16, 16, 16], input_channels=[True], output_channel=[0],
         generation_labels=np.array([0, 2, 4], np.int32), n_neutral_labels=3,
         atlas_res=[1.0, 1.0, 1.0], output_shape=16, output_div_by_n=4,
-        flipping=True, aff=np.eye(4), randomise_res=False,
+        flipping=True, aff=np.eye(4), randomise_res=False, nonlin_std=0.0,
         data_res=np.array([[1.0, 1.0, 2.0]]), downsample=True,
         build_reliability_maps=True, simulate_registration_error=False)
     generate_fn = build_generator(cfg)
@@ -252,7 +258,7 @@ def test_per_level_remat_matches_no_remat(tiny_dataset, tmp_path):
         labels_shape=[16, 16, 16], input_channels=[True], output_channel=[0],
         generation_labels=np.array([0, 2, 4], np.int32), n_neutral_labels=3,
         atlas_res=[1.0, 1.0, 1.0], output_shape=16, output_div_by_n=4,
-        flipping=True, aff=np.eye(4), randomise_res=False,
+        flipping=True, aff=np.eye(4), randomise_res=False, nonlin_std=0.0,
         data_res=np.array([[1.0, 1.0, 2.0]]), downsample=True,
         build_reliability_maps=True, simulate_registration_error=False)
     generate_fn = build_generator(cfg)
