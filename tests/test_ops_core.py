@@ -377,11 +377,14 @@ def test_flat_plane_conv_matches_xla(rng):
     # (chunk rows NOT W-aligned: full-plane wrap masks) and W = 160 (tap
     # offsets beyond one 128-lane row: rb = 2 border rows) — the pad-to-32
     # clinical sizes the 128-multiple kernels can't take
-    for cins, co, d, h, w in (((24,), 48, 8, 64, 64),
-                              ((48, 96), 96, 8, 32, 32),
-                              ((5,), 7, 8, 16, 64),
-                              ((24,), 16, 8, 32, 96),
-                              ((8,), 8, 8, 32, 160)):
+    # d = 4 is the smallest flat-eligible depth (d % 4 == 0) — depth only
+    # lengthens the plane stream, so interpret runs use it; multi-source
+    # channel mix shrunk likewise (chaining has its own test below)
+    for cins, co, d, h, w in (((24,), 48, 4, 64, 64),
+                              ((24, 48), 48, 4, 32, 32),
+                              ((5,), 7, 4, 16, 64),
+                              ((24,), 16, 4, 32, 96),
+                              ((8,), 8, 4, 32, 160)):
         ci = sum(cins)
         assert _flat_layout(ci, co, d, h, w) is not None
         srcs = [jnp.asarray(rng.normal(size=(c, d, h, w)).astype(np.float32))

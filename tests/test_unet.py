@@ -185,7 +185,10 @@ def test_fast_cf_forward_matches_flax_two_channels():
             "var": jnp.asarray(rng.uniform(0.5, 1.5, size=t["var"].shape)
                                .astype(np.float32))}
         for l, t in variables["batch_stats"].items()}
-    x = jnp.asarray(rng.normal(size=(1, 16, 32, 128, 2)).astype(np.float32))
+    # the property under test — the cin<=2 output-stationary FIRST conv —
+    # lives at level 0, which stays planes-dispatched at this 1/2-size shape
+    # (H=16: the 5-level pooling minimum)
+    x = jnp.asarray(rng.normal(size=(1, 16, 16, 128, 2)).astype(np.float32))
     a = np.asarray(model.apply(variables, x))
     run = make_fast_predictor(model, variables, x.shape, interpret=True)
     b = np.asarray(run(x))
@@ -373,11 +376,17 @@ def test_fast_cf_forward_matches_flax():
     b = np.asarray(fast_unet_forward(model, variables, x, interpret=True,
                                      dtype=jnp.float32))
     np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-4)
-    st = fast_unet_forward(model, variables, x, interpret=True,
+    # split + TTA below check WIRING (executable split, flip alignment) —
+    # shape-independent given a == b pins the kernels — so they run at 1/2
+    # the voxels (level 0 still planes-dispatched: W=128; H=16 keeps all 5
+    # levels poolable, the model's minimum)
+    x2 = jnp.asarray(rng.normal(size=(1, 16, 16, 128, 1)).astype(np.float32))
+    a2 = np.asarray(model.apply(variables, x2))
+    st = fast_unet_forward(model, variables, x2, interpret=True,
                            dtype=jnp.float32, stop_before_level=3)
     c = np.asarray(fast_unet_forward(model, variables, None, interpret=True,
                                      dtype=jnp.float32, resume_state=st))
-    np.testing.assert_allclose(a, c, rtol=2e-4, atol=1e-4)
+    np.testing.assert_allclose(a2, c, rtol=2e-4, atol=1e-4)
 
     # flip-TTA weight trick (net_fd(x) == flip(net(flip(x))) with every conv
     # kernel flipped along D): checked below against the FLAX forward —
@@ -391,10 +400,10 @@ def test_fast_cf_forward_matches_flax():
     # combines spatially aligned volumes.
     from synthsr_tpu.models.unet_cf import make_fast_predictor
 
-    run = make_fast_predictor(model, variables, x.shape, interpret=True)
+    run = make_fast_predictor(model, variables, x2.shape, interpret=True)
     aligned_slow = np.flip(np.asarray(
-        model.apply(variables, jnp.flip(x, axis=1))), axis=1)
-    fast_tta = np.asarray(run(x, flip_d_variables(variables)))
+        model.apply(variables, jnp.flip(x2, axis=1))), axis=1)
+    fast_tta = np.asarray(run(x2, flip_d_variables(variables)))
     # f32 rounding between the XLA and pallas-interpret conv paths reaches
     # ~2e-4 on a handful of voxels; the bug this guards against errs at ~1.4
     np.testing.assert_allclose(aligned_slow, fast_tta, rtol=2e-3, atol=3e-4)
