@@ -50,22 +50,20 @@ def _space_to_depth2(x):
 
 def _s2d_kernel(kernel):
     """(3,3,3,C,F) stride-2 kernel -> (2,2,2,8C,F) stride-1 kernel over the
-    8 input phases: tap k = 2t + p per axis (k=3 taps don't exist -> 0)."""
+    8 input phases: tap k = 2t + p per axis (k=3 taps don't exist -> 0).
+
+    One pad + reshape + transpose: pad each spatial axis to 4 taps (the
+    k=3 tap is the missing 2t+p=3 combination, identically zero), split
+    k -> (t, p) by reshape, and fold the phase axes into channels —
+    constant-free, one op in the jaxpr (vs 64 traced dynamic-update-slices,
+    which bloated every apply including the double-differentiated
+    gradient-penalty path)."""
     c, f = kernel.shape[3], kernel.shape[4]
-    k2 = jnp.zeros((2, 2, 2, 8 * c, f), kernel.dtype)
-    for td in range(2):
-        for th in range(2):
-            for tw in range(2):
-                for pd in range(2):
-                    for ph in range(2):
-                        for pw in range(2):
-                            kd, kh, kw = 2 * td + pd, 2 * th + ph, 2 * tw + pw
-                            if kd > 2 or kh > 2 or kw > 2:
-                                continue
-                            p = 4 * pd + 2 * ph + pw
-                            k2 = k2.at[td, th, tw, p * c:(p + 1) * c, :].set(
-                                kernel[kd, kh, kw])
-    return k2
+    k4 = jnp.pad(kernel, ((0, 1), (0, 1), (0, 1), (0, 0), (0, 0)))
+    # (td, pd, th, ph, tw, pw, c, f) -> (td, th, tw, pd, ph, pw, c, f):
+    # channel index p·c + c_i with p = 4·pd + 2·ph + pw
+    return k4.reshape(2, 2, 2, 2, 2, 2, c, f) \
+        .transpose(0, 2, 4, 1, 3, 5, 6, 7).reshape(2, 2, 2, 8 * c, f)
 
 
 class _Conv3x3Stride2(nn.Module):

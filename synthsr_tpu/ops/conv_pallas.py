@@ -239,6 +239,9 @@ def _kernel(x_hbm, w_ref, out_hbm, slab, patches, acc, obuf, isem,
                         val = jnp.where(val > 0, val, jnp.exp(val) - 1.0)
                     elif activation == "relu":
                         val = jnp.maximum(val, 0.0)
+                    elif activation == "leaky":
+                        # LeakyReLU(0.2) — the WGAN critic's activation
+                        val = jnp.where(val >= 0, val, 0.2 * val)
                     obuf[slot, :, z, :, 0:w_out] = val.astype(obuf.dtype)
 
         out_dma(slot, flat).start()
@@ -362,6 +365,8 @@ def _plane_kernel(*refs, cin, cout, d, hdim, w_out, hp, wp, th, ns,
             val = jnp.where(val > 0, val, jnp.exp(val) - 1.0)
         elif activation == "relu":
             val = jnp.maximum(val, 0.0)
+        elif activation == "leaky":
+            val = jnp.where(val >= 0, val, 0.2 * val)
         if has_post:
             # inference BatchNorm folded in: per-channel affine AFTER the
             # activation.  scale/bias arrive pre-shaped (cout, 1, 1) so the
@@ -620,6 +625,8 @@ def _first_kernel(*refs, cin, cout, d, hdim, w_out, hp, wp, th, has_bias,
             val = jnp.where(val > 0, val, jnp.exp(val) - 1.0)
         elif activation == "relu":
             val = jnp.maximum(val, 0.0)
+        elif activation == "leaky":
+            val = jnp.where(val >= 0, val, 0.2 * val)
         if has_post:
             val = val * post_s[:] + post_b[:]
         return val
@@ -1363,6 +1370,8 @@ def _flat_kernel(*refs, cin, cout, d, hq, bh, w, has_bias, activation,
             val = jnp.where(val > 0, val, jnp.exp(val) - 1.0)
         elif activation == "relu":
             val = jnp.maximum(val, 0.0)
+        elif activation == "leaky":
+            val = jnp.where(val >= 0, val, 0.2 * val)
         if has_post:
             # inference BatchNorm folded in: per-channel affine AFTER the
             # activation (scale/bias arrive pre-shaped (cout, 1, 1))

@@ -117,6 +117,8 @@ def _conv_dot(x, w, b, activation):
         pre = jax.nn.elu(pre)
     elif activation == "relu":
         pre = jax.nn.relu(pre)
+    elif activation == "leaky":
+        pre = jax.nn.leaky_relu(pre, 0.2)
     return pre.astype(x.dtype)
 
 
@@ -186,6 +188,8 @@ def _apply_fused(sources, w, b, activation, interpret):
             y = jax.nn.elu(y)
         elif activation == "relu":
             y = jax.nn.relu(y)
+        elif activation == "leaky":
+            y = jax.nn.leaky_relu(y, 0.2)
     return jax.lax.optimization_barrier(y)
 
 
@@ -216,6 +220,11 @@ def _act_grad_from_output(activation, y, dy):
         return dy * g.astype(dy.dtype)
     if activation == "relu":
         return jnp.where(y > 0, dy, jnp.zeros((), dy.dtype))
+    if activation == "leaky":
+        # leaky(0.2) is a monotone bijection: y >= 0 <=> p >= 0, and
+        # leaky' = 1 if p >= 0 else 0.2 (matches jax.nn.leaky_relu's vjp,
+        # which uses where(x >= 0, ...))
+        return jnp.where(y >= 0, dy, jnp.asarray(0.2, dy.dtype) * dy)
     return dy
 
 
