@@ -59,16 +59,21 @@ def random_weighted_average(key, real, fake, n_dp=1, axis_name=None):
     return w * real + (1.0 - w) * fake
 
 
+def gradient_penalty_from_grads(grads, weight=10.0):
+    """λ·mean((‖g‖₂ - 1)²) over precomputed input gradients g = ∇_x̂ D(x̂),
+    norm over spatial axes (reference :585-595)."""
+    sq = jnp.sum(jnp.square(grads), axis=tuple(range(1, 4)))  # spatial axes only
+    norm = jnp.sqrt(jnp.maximum(sq, 1e-12))
+    return weight * jnp.mean(jnp.square(1.0 - norm))
+
+
 def gradient_penalty(disc_apply, disc_params, x_hat, mask=None, weight=10.0):
     """λ·mean((‖∇_x̂ D(x̂)‖₂ - 1)²), norm over spatial axes (reference :585-595)."""
 
     def d_sum(xh):
         return jnp.sum(disc_apply(disc_params, xh, mask))
 
-    grads = jax.grad(d_sum)(x_hat)
-    sq = jnp.sum(jnp.square(grads), axis=tuple(range(1, 4)))  # spatial axes only
-    norm = jnp.sqrt(jnp.maximum(sq, 1e-12))
-    return weight * jnp.mean(jnp.square(1.0 - norm))
+    return gradient_penalty_from_grads(jax.grad(d_sum)(x_hat), weight)
 
 
 def make_adversarial_steps(gen_model, disc_model, generate_fn, gen_opt,
@@ -143,17 +148,49 @@ def make_adversarial_steps(gen_model, disc_model, generate_fn, gen_opt,
             keys = jax.lax.dynamic_slice_in_dim(keys, idx * n_local, n_local)
         return keys
 
+    # Fast critic (models/discriminator_cf.py): stride-1 3³ convs on the
+    # Pallas channels-first family — a first-order apply for the WGAN terms
+    # and the unrolled input-gradient program for the gradient penalty
+    # (whose d/dp is a second derivative, unreachable through the Pallas
+    # custom_vjp by autodiff).  Same gating as the generator's fast path;
+    # per-shape qualification (even dims through every level) is checked at
+    # trace time since shapes are static under jit.
+    from ..models.discriminator_cf import (can_fast_disc, make_fast_disc_apply,
+                                           make_fast_disc_input_grad)
+
+    fast_disc = fast_disc_ig = None
+    if use_fast and isinstance(disc_model, Discriminator3D):
+        fast_disc = make_fast_disc_apply(
+            disc_model, interpret=fast_forward == "interpret")
+        fast_disc_ig = make_fast_disc_input_grad(
+            disc_model, interpret=fast_forward == "interpret")
+
     def disc_apply(p, x, mask=None):
+        if fast_disc is not None and can_fast_disc(disc_model, x.shape[1:4]):
+            return fast_disc(p, x, mask)
         return disc_model.apply({"params": p}, x, mask)
 
-    # Same params, s2d stride-2 decomposition: measurably faster on the
-    # second-order gradient-penalty path only (57.9 vs 69.6 ms at 128³
-    # bf16; the strided impl stays fastest for forward/first-order — see
-    # models/discriminator.py docstring for the full A/B table).
-    disc_gp_model = disc_model.clone(stride2_impl="s2d")
+    # Fallback GP path (fast critic unavailable): same params, s2d stride-2
+    # decomposition — measurably faster on the second-order gradient-penalty
+    # path only (57.9 vs 69.6 ms at 128³ bf16; the strided impl stays
+    # fastest for forward/first-order — see models/discriminator.py
+    # docstring for the full A/B table).  Custom critic modules without a
+    # ``stride2_impl`` field just reuse their own apply.
+    if hasattr(disc_model, "stride2_impl"):
+        disc_gp_model = disc_model.clone(stride2_impl="s2d")
+    else:
+        disc_gp_model = disc_model
 
     def disc_apply_gp(p, x, mask=None):
         return disc_gp_model.apply({"params": p}, x, mask)
+
+    def gp_term(dp, x_hat, mask):
+        if fast_disc_ig is not None and \
+                can_fast_disc(disc_model, x_hat.shape[1:4]):
+            grads = fast_disc_ig(dp, x_hat, mask)
+            return gradient_penalty_from_grads(grads, gradient_penalty_weight)
+        return gradient_penalty(disc_apply_gp, dp, x_hat, mask,
+                                gradient_penalty_weight)
 
     def _generate(key, batch):
         bs = batch[0].shape[0]
@@ -212,8 +249,7 @@ def make_adversarial_steps(gen_model, disc_model, generate_fn, gen_opt,
             d = disc_apply(dp, jnp.concatenate([target, fake]),
                            None if mask is None
                            else jnp.concatenate([mask, mask]))
-            gp = gradient_penalty(disc_apply_gp, dp, x_hat, mask,
-                                  gradient_penalty_weight)
+            gp = gp_term(dp, x_hat, mask)
             return jnp.mean(-d[:b]) + jnp.mean(d[b:]) + gp
 
         loss, grads = jax.value_and_grad(loss_fn)(disc_params)
