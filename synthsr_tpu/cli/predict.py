@@ -231,55 +231,21 @@ class Predictor:
 
 def run_batch(predictor: Predictor, images, outs, prefetch: int = 2,
               verbose: bool = False):
-    """Directory batch mode as a three-stage pipeline.
-
-    The reference loop (predict_command_line.py:109-138) is fully serial:
-    gzip-inflate, predict, gzip-deflate, repeat — the accelerator idles
-    through both gzip passes.  Here a loader thread keeps ``prefetch``
-    volumes decoded ahead and a writer thread compresses/saves behind, so
-    the device-side predict stream never waits on host NIfTI codec work.
-    Output files and values are identical to the serial loop.
-    """
-    import queue
-    import threading
-
-    from ..io.volume import load_volume, save_volume
-    from ..utils.prefetch import PrefetchIterator
+    """Directory batch mode on the shared three-stage pipeline
+    (cli/_pipeline.py — loader thread decoding ahead, writer thread
+    compressing behind; reference loop predict_command_line.py:109-138 is
+    fully serial).  Output files and values are identical to the serial
+    loop."""
+    from ..io.volume import load_volume
+    from ._pipeline import run_pipelined
 
     def loads():
         for pin in images:
             yield load_volume(pin, im_only=False, dtype="float")
 
-    loaded = PrefetchIterator(iter(loads()), buffer_size=prefetch)
-    save_q: queue.Queue = queue.Queue(maxsize=max(1, prefetch))
-    save_errors: list[Exception] = []
-
-    def writer():
-        while True:
-            item = save_q.get()
-            if item is None:
-                return
-            pred, aff2, pout = item
-            try:
-                save_volume(pred, aff2, None, pout)
-            except Exception as e:  # surfaced after the loop
-                save_errors.append(e)
-
-    t = threading.Thread(target=writer, daemon=True)
-    t.start()
-    try:
-        for idx, ((im, aff, _), pout) in enumerate(zip(loaded, outs)):
-            if verbose:
-                print(f"  Working on image {idx + 1}")
-                print("  " + images[idx])
-            pred, aff2 = predictor.predict_volume(im, aff)
-            save_q.put((pred, aff2, pout))
-    finally:
-        save_q.put(None)
-        t.join()
-        loaded.close()
-    if save_errors:
-        raise save_errors[0]
+    run_pipelined(loads(), lambda item: predictor.predict_volume(item[0], item[1]),
+                  outs, prefetch=prefetch, verbose=verbose,
+                  describe=lambda idx: images[idx])
 
 
 def main(argv=None):

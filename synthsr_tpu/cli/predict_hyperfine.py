@@ -163,53 +163,23 @@ class HyperfinePredictor:
 
 def run_batch(predictor: HyperfinePredictor, t1s, t2s, outs,
               prefetch: int = 2, verbose: bool = False):
-    """Directory batch mode as a three-stage pipeline: a loader thread keeps
-    ``prefetch`` T1+T2 pairs gzip-decoded ahead and a writer thread
-    compresses/saves behind the device predict stream (same structure as
-    cli/predict.run_batch; the reference loop predict_command_line_hyperfine
+    """Directory batch mode on the shared three-stage pipeline
+    (cli/_pipeline.py; the reference loop predict_command_line_hyperfine
     .py:95-135 is fully serial).  Outputs identical to the serial loop."""
-    import queue
-    import threading
-
-    from ..io.volume import load_volume, save_volume
-    from ..utils.prefetch import PrefetchIterator
+    from ..io.volume import load_volume
+    from ._pipeline import run_pipelined
 
     def loads():
         for p1, p2 in zip(t1s, t2s):
             yield (load_volume(p1, im_only=False, dtype="float"),
                    load_volume(p2, im_only=False, dtype="float"))
 
-    loaded = PrefetchIterator(iter(loads()), buffer_size=prefetch)
-    save_q: queue.Queue = queue.Queue(maxsize=max(1, prefetch))
-    save_errors: list[Exception] = []
+    def predict(item):
+        (im1, aff1, _), (im2, aff2, _) = item
+        return predictor.predict_pair(im1, aff1, im2, aff2)
 
-    def writer():
-        while True:
-            item = save_q.get()
-            if item is None:
-                return
-            pred, aff, pout = item
-            try:
-                save_volume(pred, aff, None, pout)
-            except Exception as e:
-                save_errors.append(e)
-
-    t = threading.Thread(target=writer, daemon=True)
-    t.start()
-    try:
-        for idx, (((im1, aff1, _), (im2, aff2, _)), pout) in enumerate(
-                zip(loaded, outs)):
-            if verbose:
-                print(f"  Working on image {idx + 1}")
-                print("  " + t1s[idx] + ", " + t2s[idx])
-            pred, aff = predictor.predict_pair(im1, aff1, im2, aff2)
-            save_q.put((pred, aff, pout))
-    finally:
-        save_q.put(None)
-        t.join()
-        loaded.close()
-    if save_errors:
-        raise save_errors[0]
+    run_pipelined(loads(), predict, outs, prefetch=prefetch, verbose=verbose,
+                  describe=lambda idx: t1s[idx] + ", " + t2s[idx])
 
 
 def main(argv=None):

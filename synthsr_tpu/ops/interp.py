@@ -31,11 +31,6 @@ def ndgrid(shape, dtype=jnp.float32):
             jnp.meshgrid(*[jnp.arange(s) for s in shape], indexing="ij")]
 
 
-def _ensure_channels(vol):
-    """Return (vol with channel axis, had_channels)."""
-    return vol, True
-
-
 def interpn(vol: jnp.ndarray, loc: jnp.ndarray, method: str = "linear") -> jnp.ndarray:
     """Interpolate ``vol`` at locations ``loc``.
 

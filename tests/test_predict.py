@@ -155,6 +155,24 @@ def test_run_batch_matches_serial(tmp_path):
         run_batch(StubPredictor(), [str(d_in / "missing.nii.gz")],
                   [str(tmp_path / "x.nii.gz")])
 
+    # a writer failure fails the batch FAST: the predict loop must stop
+    # instead of predicting the whole directory first, and the save error
+    # must surface (cli/_pipeline.py error semantics)
+    class CountingPredictor(StubPredictor):
+        calls = 0
+
+        def predict_volume(self, im, aff):
+            CountingPredictor.calls += 1
+            return super().predict_volume(im, aff)
+
+    # parent "directory" is a regular file -> save_volume's makedirs raises
+    (tmp_path / "not_a_dir").write_text("")
+    bad_outs = [str(tmp_path / "not_a_dir" / f"o{i}.nii.gz")
+                for i in range(4)]
+    with pytest.raises(Exception):
+        run_batch(CountingPredictor(), images, bad_outs)
+    assert CountingPredictor.calls < 4  # stopped before the end of the batch
+
 
 def test_predict_ct_clipping(tmp_path, random_weights_h5):
     from synthsr_tpu.cli.predict import Predictor
