@@ -20,6 +20,12 @@ import numpy as np
 
 TF_A100_BASELINE_VOL_PER_MIN = 15.0
 
+# Regression gate (STATUS.md "predict: CLOSED"): rounds 3-5 measured
+# 175.7-178.5 vol/min on this pipeline; anything below the floor means a
+# regression (kernel dispatch, TTA structure, executable cache), not noise.
+EXPECTED_VOL_PER_MIN = (176.0, 178.0)
+REGRESSION_FLOOR_VOL_PER_MIN = 170.0
+
 
 def main():
     import jax
@@ -86,6 +92,7 @@ def main():
         "vs_baseline": round(vol_per_min / TF_A100_BASELINE_VOL_PER_MIN, 2),
         "baseline_note": "estimated 15 vol/min TF-2.0-on-A100 (reference "
                          "publishes no numbers; see module docstring)",
+        "regression_alert": bool(vol_per_min < REGRESSION_FLOOR_VOL_PER_MIN),
     }))
 
 

@@ -25,7 +25,7 @@ def build_model_inputs(path_label_maps, n_labels, prior_means, prior_stds,
                        batchsize=1, n_channels=1, generation_classes=None,
                        rng: np.random.Generator | None = None,
                        use_specific_stats_for_channel=None,
-                       include_gmm_params=True):
+                       include_gmm_params=True, local_slice=None):
     """Infinite generator of model inputs (lists stacked to batch arrays).
 
     ``use_specific_stats_for_channel``: None = SynthSR semantics (a 2n-row
@@ -35,7 +35,17 @@ def build_model_inputs(path_label_maps, n_labels, prior_means, prior_stds,
 
     ``include_gmm_params=False`` yields only (labels[, image]) — for the
     on-device-draw training path (synth/sampling.make_gmm_sampler), where the
-    host pipeline streams label maps and nothing else."""
+    host pipeline streams label maps and nothing else.
+
+    ``local_slice``: (process_index, process_count) for multi-HOST training
+    (SURVEY.md §5 "per-host sharded input pipeline"): label-map picks and
+    GMM draws are generated for the GLOBAL ``batchsize`` from the shared
+    seeded stream, but only this host's contiguous slice of examples is
+    LOADED and yielded — feed via
+    ``parallel.mesh.host_local_batch_to_global``.  Concatenating the
+    processes' yields in process order reproduces the single-host stream
+    exactly (same rng consumption order), so seeded runs are
+    topology-invariant."""
     _ = get_volume_info(path_label_maps[0])  # validates the first map
 
     if generation_classes is None:
@@ -44,19 +54,32 @@ def build_model_inputs(path_label_maps, n_labels, prior_means, prior_stds,
     n_classes = len(np.unique(generation_classes))
     rand = rng if rng is not None else np.random.default_rng()
 
+    pid, n_procs = local_slice if local_slice is not None else (0, 1)
+    if batchsize % n_procs:
+        raise ValueError(f"global batchsize {batchsize} must divide evenly "
+                         f"over {n_procs} processes")
+    local_bs = batchsize // n_procs
+    lo = pid * local_bs
+
     while True:
         indices = rand.integers(len(path_label_maps), size=batchsize)
 
         list_label_maps, list_means, list_stds, list_images = [], [], [], []
-        for idx in indices:
-            lab = load_volume(path_label_maps[idx], dtype="int", aff_ref=np.eye(4))
-            list_label_maps.append(lab[None, ..., None])
-            if path_images is not None:
-                im = load_volume(path_images[idx], dtype="float", aff_ref=np.eye(4))
-                list_images.append(im[None, ..., None])
+        for pos, idx in enumerate(indices):
+            is_local = lo <= pos < lo + local_bs
+            if is_local:
+                lab = load_volume(path_label_maps[idx], dtype="int",
+                                  aff_ref=np.eye(4))
+                list_label_maps.append(lab[None, ..., None])
+                if path_images is not None:
+                    im = load_volume(path_images[idx], dtype="float",
+                                     aff_ref=np.eye(4))
+                    list_images.append(im[None, ..., None])
             if not include_gmm_params:
                 continue
 
+            # GMM draws consume the rng for EVERY global example (stream
+            # parity across process counts); only local ones are kept
             means = np.empty((1, n_labels, 0))
             stds = np.empty((1, n_labels, 0))
             for channel in range(n_channels):
@@ -82,8 +105,9 @@ def build_model_inputs(path_label_maps, n_labels, prior_means, prior_stds,
                                        axis=-1)
                 stds = np.concatenate([stds, cls_stds[generation_classes][None, :, None]],
                                       axis=-1)
-            list_means.append(means)
-            list_stds.append(stds)
+            if is_local:
+                list_means.append(means)
+                list_stds.append(stds)
 
         inputs = [np.concatenate(list_label_maps, 0).astype(np.int32)]
         if include_gmm_params:

@@ -486,7 +486,8 @@ def training(labels_dir,
 
     # data-parallel mesh: batches shard over 'data', parameters replicate
     # (gradient psums ride ICI, reference has no distributed analogue)
-    from ..parallel.mesh import make_data_mesh, replicate, shard_batch
+    from ..parallel.mesh import (host_local_batch_to_global, make_data_mesh,
+                                 replicate, shard_batch)
 
     if n_devices is None:
         # never build a mesh wider than the batch (batch shards over 'data')
@@ -532,6 +533,9 @@ def training(labels_dir,
     from ..synth.model_inputs import build_model_inputs
     from ..utils.prefetch import PrefetchIterator
 
+    # per-host sharded feed on multi-HOST meshes (SURVEY.md §5): each
+    # process loads only its contiguous slice of the global batch
+    n_procs = jax.process_count()
     labels_only_gen = build_model_inputs(
         path_label_maps=brain_generator.labels_paths,
         n_labels=len(generation_labels),
@@ -540,7 +544,8 @@ def training(labels_dir,
         path_images=brain_generator.images_paths,
         batchsize=batchsize,
         rng=brain_generator._rng if seed is not None else None,
-        include_gmm_params=False)
+        include_gmm_params=False,
+        local_slice=(jax.process_index(), n_procs) if n_procs > 1 else None)
     inputs_gen = PrefetchIterator(labels_only_gen, buffer_size=4)
     log_dir = os.path.join(model_dir, "logs")
     os.makedirs(log_dir, exist_ok=True)
@@ -590,14 +595,16 @@ def training(labels_dir,
             ratio = first_training_ratio if (epoch == 0 and step_i == 0) \
                 else training_ratio
             for _ in range(ratio):
-                batch = shard_batch(mesh, tuple(np.asarray(x) for x in next(inputs_gen)))
+                batch = host_local_batch_to_global(
+                    mesh, tuple(np.asarray(x) for x in next(inputs_gen)))
                 key, sub = jax.random.split(key)
                 disc_params, disc_opt_state, d_loss = disc_step(
                     gen_params, gen_bs, disc_params, disc_opt_state, sub, batch)
                 guard_d.push(f"epoch {epoch + 1} step {step_i + 1}", d_loss)
                 avg_d += d_loss
                 n_d += 1
-            batch = shard_batch(mesh, tuple(np.asarray(x) for x in next(inputs_gen)))
+            batch = host_local_batch_to_global(
+                mesh, tuple(np.asarray(x) for x in next(inputs_gen)))
             key, sub = jax.random.split(key)
             gen_params, gen_bs, gen_opt_state, g_loss = gen_step(
                 gen_params, gen_bs, disc_params, gen_opt_state, sub, batch)

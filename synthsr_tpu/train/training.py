@@ -31,7 +31,8 @@ from ..io.labels import get_list_labels
 from ..models.h5_import import export_keras_unet_weights, load_keras_unet_weights
 from ..models.unet import UNet3D
 from ..ops.losses import dice_loss
-from ..parallel.mesh import make_data_mesh, replicate, shard_batch
+from ..parallel.mesh import (host_local_batch_to_global, make_data_mesh,
+                             replicate, shard_batch)
 from ..synth.brain_generator import BrainGenerator
 from ..utils.finite_guard import FiniteGuard, guard_updates
 from ..utils.misc import get_padding_margin, reformat_to_list
@@ -593,7 +594,11 @@ def training(labels_dir,
     from ..synth.model_inputs import build_model_inputs
     from ..utils.prefetch import PrefetchIterator
 
-    # labels-only host stream (GMM params are drawn on device)
+    # labels-only host stream (GMM params are drawn on device); on a
+    # multi-HOST mesh each process loads only its contiguous slice of the
+    # global batch (SURVEY.md §5 per-host sharded input pipeline) and the
+    # feed below assembles the global sharded array over ICI
+    n_procs = jax.process_count()
     labels_only_gen = build_model_inputs(
         path_label_maps=brain_generator.labels_paths,
         n_labels=len(generation_labels),
@@ -602,7 +607,8 @@ def training(labels_dir,
         path_images=brain_generator.images_paths,
         batchsize=batchsize,
         rng=brain_generator._rng if seed is not None else None,
-        include_gmm_params=False)
+        include_gmm_params=False,
+        local_slice=(jax.process_index(), n_procs) if n_procs > 1 else None)
     inputs_gen = PrefetchIterator(labels_only_gen, buffer_size=4)
     log_path = os.path.join(model_dir, "logs")
     os.makedirs(log_path, exist_ok=True)
@@ -615,7 +621,7 @@ def training(labels_dir,
         epoch_losses = []
         for step_i in range(steps_per_epoch):
             batch = [np.asarray(x) for x in next(inputs_gen)]
-            batch = shard_batch(mesh, tuple(batch))
+            batch = host_local_batch_to_global(mesh, tuple(batch))
             # the split runs inside the step (advance_key=True, identical
             # key stream to a host-side key, sub = jax.random.split(key))
             params, batch_stats, opt_state, key, loss = train_step(
