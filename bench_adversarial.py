@@ -80,11 +80,12 @@ def main():
         prior_stds=bg.prior_stds, prior_distributions="normal",
         n_channels=bg.n_channels,
         generation_classes=bg.generation_classes)
-    disc_step, gen_step = make_adversarial_steps(
+    disc_step, gen_step, disc_steps = make_adversarial_steps(
         gen_model, disc_model, generate_fn, gen_opt, disc_opt,
         gmm_sampler=gmm_sampler,
         residual_indices=doubled_residual_indices(None, False),
-        loss_cropping=96, fast_forward="auto", compute_dtype=jnp.bfloat16)
+        loss_cropping=96, fast_forward="auto", compute_dtype=jnp.bfloat16,
+        with_scan=True)
 
     gen = build_model_inputs(path_label_maps=bg.labels_paths,
                              n_labels=len(generation_labels),
@@ -93,6 +94,15 @@ def main():
                              include_gmm_params=False)
     batches = [tuple(jnp.asarray(a) for a in next(gen)) for _ in range(5)]
     jax.block_until_ready(batches)
+    # the production loop's feed: each cycle's 10 critic iterations arrive
+    # as one K-stacked batch and run as ONE executable (train/adversarial.py
+    # scan_inner) — a fresh label-map pick per iteration, like the host
+    # stream; 5 distinct stacks so the data rotates like `batches` did
+    stacks = [tuple(jnp.stack([batches[(i + j) % len(batches)][c]
+                               for j in range(TRAINING_RATIO)])
+                    for c in range(len(batches[0])))
+              for i in range(len(batches))]
+    jax.block_until_ready(stacks)
 
     gp, gb = gen_vars["params"], gen_vars["batch_stats"]
     dp = disc_params
@@ -100,16 +110,14 @@ def main():
     key = jax.random.PRNGKey(0)
 
     def cycle(gp, gb, dp, g_opt_state, d_opt_state, key, i):
-        """One steady-state step: 10 critic updates then 1 generator update
-        (reference :452-466)."""
-        for j in range(TRAINING_RATIO):
-            key, sub = jax.random.split(key)
-            dp, d_opt_state, d_loss = disc_step(
-                gp, gb, dp, d_opt_state, sub, batches[(i + j) % len(batches)])
+        """One steady-state step: 10 critic updates (one scanned executable)
+        then 1 generator update (reference :452-466)."""
+        dp, d_opt_state, key, d_losses = disc_steps(
+            gp, gb, dp, d_opt_state, key, stacks[i % len(stacks)])
         key, sub = jax.random.split(key)
         gp, gb, g_opt_state, g_loss = gen_step(
             gp, gb, dp, g_opt_state, sub, batches[i % len(batches)])
-        return gp, gb, dp, g_opt_state, d_opt_state, key, (d_loss, g_loss)
+        return gp, gb, dp, g_opt_state, d_opt_state, key, (d_losses[-1], g_loss)
 
     # warm-up (first Pallas compile can take minutes on this platform)
     out = cycle(gp, gb, dp, g_opt_state, d_opt_state, key, 0)

@@ -117,11 +117,17 @@ def _flipT(w):
     return jnp.transpose(jnp.flip(w, (0, 1, 2)), (0, 1, 2, 4, 3))
 
 
-def _levels_forward(params, xi, n_levels, interpret, *, s2d, save=False):
+def _levels_forward(params, xi, n_levels, interpret, *, s2d, save=False,
+                    first_dx=True):
     """The critic's conv trunk on one channels-first example: per level a
     stride-1 3³ conv + LeakyReLU (Pallas via conv3d_cf_train — the leaky
     epilogue is fused in-kernel; XLA channels-first fallback at the deep
     levels whose tiny planes don't qualify) then a stride-2 conv + LeakyReLU.
+
+    ``first_dx=False``: the caller's loss treats ``xi`` as a constant (the
+    WGAN critic update differentiates w.r.t. params only), so the level-0
+    conv's input-gradient conv — a cout=1, M=3-MXU-row transposed conv at
+    the full volume — is dead work the custom_vjp can skip.
 
     Returns the trunk output and, when ``save``, the post-activation pair
     per level (what the hand-rolled backward chain needs)."""
@@ -130,7 +136,7 @@ def _levels_forward(params, xi, n_levels, interpret, *, s2d, save=False):
         p0 = params[f"conv_{level}_0"]
         p1 = params[f"conv_{level}_1"]
         s0 = conv3d_cf_train((xi,), p0["kernel"], p0["bias"], "leaky",
-                             interpret)
+                             interpret, level > 0 or first_dx)
         s1 = jax.nn.leaky_relu(
             _conv_s2_cf(s0, p1["kernel"], p1["bias"], s2d=s2d), 0.2)
         if save:
@@ -151,12 +157,19 @@ def _head_forward(params, xi, dt):
     return score, (feat, h)
 
 
-def make_fast_disc_apply(model: Discriminator3D, interpret: bool = False):
+def make_fast_disc_apply(model: Discriminator3D, interpret: bool = False,
+                         input_grad_needed: bool = True):
     """Build ``apply(params, x, mask=None) -> (B, 1)`` — a drop-in for
     ``disc_model.apply({"params": p}, x, mask)`` with the stride-1 3³ convs
     on the Pallas channels-first family (first-order differentiable via
     conv3d_cf_train's custom_vjp; do NOT use under the gradient penalty —
-    see make_fast_disc_input_grad)."""
+    see make_fast_disc_input_grad).
+
+    ``input_grad_needed=False`` declares that no caller differentiates
+    through ``x`` (the critic UPDATE — x is the generated constant), letting
+    the level-0 conv skip its dead input-gradient conv in the backward.
+    Keep True for the generator update, whose adversarial term needs
+    d(D(fake))/d(fake)."""
     dt = model.compute_dtype
     nl = model.n_levels
 
@@ -167,7 +180,8 @@ def make_fast_disc_apply(model: Discriminator3D, interpret: bool = False):
         scores = []
         for i in range(x.shape[0]):
             xi = jnp.transpose(x[i], (3, 0, 1, 2))
-            xi, _ = _levels_forward(params, xi, nl, interpret, s2d=False)
+            xi, _ = _levels_forward(params, xi, nl, interpret, s2d=False,
+                                    first_dx=input_grad_needed)
             score, _ = _head_forward(params, xi, dt)
             scores.append(score)
         return jnp.stack(scores).astype(jnp.float32)
@@ -191,8 +205,12 @@ def make_fast_disc_input_grad(model: Discriminator3D, interpret: bool = False):
         # ----- forward, saving per-level post-activations -----
         if mask_i is not None:
             xi = xi * mask_i
+        # first_dx=False: the only caller (the gradient penalty in the
+        # critic update) differentiates this program w.r.t. params, never
+        # w.r.t. x_hat — the outer vjp can skip the trunk's dead level-0
+        # input-gradient conv
         top, saved = _levels_forward(params, xi, nl, interpret, s2d=True,
-                                     save=True)
+                                     save=True, first_dx=False)
         _, (feat, h) = _head_forward(params, top, dt)
 
         # ----- backward chain: d(score)/d(xi) -----

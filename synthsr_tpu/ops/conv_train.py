@@ -193,8 +193,9 @@ def _apply_fused(sources, w, b, activation, interpret):
     return jax.lax.optimization_barrier(y)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def conv3d_cf_train(sources, w, b, activation=None, interpret=False):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def conv3d_cf_train(sources, w, b, activation=None, interpret=False,
+                    want_dx=True):
     """Differentiable fused act(conv3d(x, w) + b), channels-first, batch-free.
 
     ``sources``: tuple of (C_i, D, H, W) inputs concatenated conceptually on
@@ -202,11 +203,17 @@ def conv3d_cf_train(sources, w, b, activation=None, interpret=False):
     every source, ``w`` (3, 3, 3, cin, cout) and ``b`` (cout,).
     ``activation``: None | 'elu' | 'relu' — fused in the kernel epilogue and
     differentiated from the saved OUTPUT, so no preactivation is stored.
+    ``want_dx=False`` skips the input-gradient conv in the backward and
+    returns zero source cotangents: for FIRST-layer convs whose input is a
+    constant w.r.t. the differentiated parameters, the custom_vjp otherwise
+    computes a dead dx — e.g. the WGAN critic's 32→1-channel transposed conv
+    at 128³, M = 3·cout = 3 of the MXU's 128 rows (jax can't prune inside a
+    custom_vjp, so the caller must declare it).
     """
     return _apply_fused(sources, w, b, activation, interpret)
 
 
-def _conv_train_fwd(sources, w, b, activation, interpret):
+def _conv_train_fwd(sources, w, b, activation, interpret, want_dx):
     y = _apply_fused(sources, w, b, activation, interpret)
     return y, (tuple(sources), w, y)
 
@@ -262,17 +269,20 @@ def _weight_grad(x, dpre):
     return jnp.transpose(dw, (3, 0, 1, 2, 4))        # (dz, dy, dx, ci, co)
 
 
-def _conv_train_bwd(activation, interpret, res, dy):
+def _conv_train_bwd(activation, interpret, want_dx, res, dy):
     sources, w, y = res
     dpre = _act_grad_from_output(activation, y, dy)
     db = jnp.sum(dpre.astype(jnp.float32), axis=(1, 2, 3)).astype(w.dtype)
-    # dx: SAME conv of dpre with spatially-flipped, in/out-transposed weights
-    wt = jnp.transpose(jnp.flip(w, (0, 1, 2)), (0, 1, 2, 4, 3))
-    dx = _apply_fused((dpre,), wt, None, None, interpret)
-    dxs, off = [], 0
-    for s in sources:
-        dxs.append(dx[off:off + s.shape[0]].astype(s.dtype))
-        off += s.shape[0]
+    if want_dx:
+        # dx: SAME conv of dpre with flipped, in/out-transposed weights
+        wt = jnp.transpose(jnp.flip(w, (0, 1, 2)), (0, 1, 2, 4, 3))
+        dx = _apply_fused((dpre,), wt, None, None, interpret)
+        dxs, off = [], 0
+        for s in sources:
+            dxs.append(dx[off:off + s.shape[0]].astype(s.dtype))
+            off += s.shape[0]
+    else:
+        dxs = [jnp.zeros_like(s) for s in sources]
     # per-source weight gradients: slices along ci are independent, so the
     # concatenated input never materializes for the kgrad either.  The
     # Pallas wgrad kernel (in-VMEM patch building, zero HBM patch traffic)

@@ -52,3 +52,16 @@ def host_local_batch_to_global(mesh: Mesh, tree):
     from jax.experimental import multihost_utils
 
     return multihost_utils.host_local_array_to_global_array(tree, mesh, P("data"))
+
+
+def host_local_stacked_to_global(mesh: Mesh, tree):
+    """Like host_local_batch_to_global for K-stacked batches (K, B, ...):
+    the leading scan axis stays unsharded, the batch axis shards over
+    ``data`` (feed for the scanned critic inner loop)."""
+    spec = P(None, "data")
+    if jax.process_count() == 1:
+        sh = NamedSharding(mesh, spec)
+        return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+    from jax.experimental import multihost_utils
+
+    return multihost_utils.host_local_array_to_global_array(tree, mesh, spec)

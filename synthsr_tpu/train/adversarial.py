@@ -86,7 +86,7 @@ def make_adversarial_steps(gen_model, disc_model, generate_fn, gen_opt,
                            seg_apply=None, seg_vars=None, seg_eq=None,
                            generation_labels=None, norm_m=None, norm_M=None,
                            fast_forward="auto", compute_dtype=jnp.float32,
-                           data_mesh=None):
+                           data_mesh=None, with_scan=False):
     """Build the two jitted WGAN-GP updates (reference
     fine_tuning_with_adversary.py:365-436):
 
@@ -94,6 +94,20 @@ def make_adversarial_steps(gen_model, disc_model, generate_fn, gen_opt,
           -> (disc_params, disc_opt_state, d_loss)
       gen_step(gen_params, gen_bs, disc_params, gen_opt_state, key, batch)
           -> (gen_params, gen_bs, gen_opt_state, g_loss)
+
+    ``with_scan=True`` additionally returns a third jitted update that runs
+    the whole 10:1 critic inner loop as ONE executable (lax.scan over a
+    stacked batch axis K), eliminating the per-dispatch tunnel/host overhead
+    of K separate disc_step launches (~20 ms each measured):
+
+      disc_steps(gen_params, gen_bs, disc_params, disc_opt_state, key,
+                 batches)  # leaves stacked (K, B, ...)
+          -> (disc_params, disc_opt_state, key, d_losses[K])
+
+    Key-stream parity with the host loop is exact: the scan body performs
+    the same ``key, sub = jax.random.split(key)`` per iteration and returns
+    the advanced key, so K scanned iterations produce bit-identical params
+    to K sequential disc_step calls fed the same per-iteration batches.
 
     ``batch`` = (labels[, real]) with a leading batch axis; generation and
     the GMM prior draws run on device inside both steps.
@@ -158,16 +172,24 @@ def make_adversarial_steps(gen_model, disc_model, generate_fn, gen_opt,
     from ..models.discriminator_cf import (can_fast_disc, make_fast_disc_apply,
                                            make_fast_disc_input_grad)
 
-    fast_disc = fast_disc_ig = None
+    fast_disc_d = fast_disc_g = fast_disc_ig = None
     if use_fast and isinstance(disc_model, Discriminator3D):
-        fast_disc = make_fast_disc_apply(
+        # two builds of the same forward: the critic UPDATE differentiates
+        # w.r.t. params only (its input is the generated constant), so its
+        # level-0 conv skips the dead input-gradient conv; the generator
+        # update needs d(D(fake))/d(fake) and keeps it
+        fast_disc_d = make_fast_disc_apply(
+            disc_model, interpret=fast_forward == "interpret",
+            input_grad_needed=False)
+        fast_disc_g = make_fast_disc_apply(
             disc_model, interpret=fast_forward == "interpret")
         fast_disc_ig = make_fast_disc_input_grad(
             disc_model, interpret=fast_forward == "interpret")
 
-    def disc_apply(p, x, mask=None):
-        if fast_disc is not None and can_fast_disc(disc_model, x.shape[1:4]):
-            return fast_disc(p, x, mask)
+    def disc_apply(p, x, mask=None, *, input_grad_needed=True):
+        fast = fast_disc_d if not input_grad_needed else fast_disc_g
+        if fast is not None and can_fast_disc(disc_model, x.shape[1:4]):
+            return fast(p, x, mask)
         return disc_model.apply({"params": p}, x, mask)
 
     # Fallback GP path (fast critic unavailable): same params, s2d stride-2
@@ -248,7 +270,8 @@ def make_adversarial_steps(gen_model, disc_model, generate_fn, gen_opt,
             b = target.shape[0]
             d = disc_apply(dp, jnp.concatenate([target, fake]),
                            None if mask is None
-                           else jnp.concatenate([mask, mask]))
+                           else jnp.concatenate([mask, mask]),
+                           input_grad_needed=False)
             gp = gp_term(dp, x_hat, mask)
             return jnp.mean(-d[:b]) + jnp.mean(d[b:]) + gp
 
@@ -261,6 +284,23 @@ def make_adversarial_steps(gen_model, disc_model, generate_fn, gen_opt,
         return (guard_updates(finite, optax.apply_updates(disc_params, upd),
                               disc_params),
                 guard_updates(finite, new_state, disc_opt_state), loss)
+
+    _disc_body = disc_step  # pre-shard_map body; disc_step is rebound below
+
+    def disc_steps(gen_params, gen_bs, disc_params, disc_opt_state, key,
+                   batches):
+        """K critic iterations in one executable (see factory docstring)."""
+
+        def body(carry, batch):
+            dp, dos, key = carry
+            key, sub = jax.random.split(key)
+            dp, dos, loss = _disc_body(gen_params, gen_bs, dp, dos, sub,
+                                       batch)
+            return (dp, dos, key), loss
+
+        (dp, dos, key), losses = jax.lax.scan(
+            body, (disc_params, disc_opt_state, key), batches)
+        return dp, dos, key, losses
 
     def gen_step(gen_params, gen_bs, disc_params, gen_opt_state, key, batch):
         # extra split only when the net has dropout: the key stream (and so
@@ -322,6 +362,14 @@ def make_adversarial_steps(gen_model, disc_model, generate_fn, gen_opt,
             gen_step, mesh=data_mesh,
             in_specs=(P(), P(), P(), P(), P(), P("data")),
             out_specs=(P(), P(), P(), P()), check_vma=False)
+        # the scan wraps the per-device body: batches keep the stacked K
+        # axis unsharded, the batch axis (axis 1) sharded over "data"
+        disc_steps = shard_map(
+            disc_steps, mesh=data_mesh,
+            in_specs=(P(), P(), P(), P(), P(), P(None, "data")),
+            out_specs=(P(), P(), P(), P()), check_vma=False)
+    if with_scan:
+        return jax.jit(disc_step), jax.jit(gen_step), jax.jit(disc_steps)
     return jax.jit(disc_step), jax.jit(gen_step)
 
 
@@ -383,6 +431,7 @@ def training(labels_dir,
              compute_dtype="bfloat16",
              n_devices=None,
              fast_forward="auto",
+             scan_inner="auto",
              log_fn=print):
 
     # ----- channel plumbing (reference :240-261) -----
@@ -486,8 +535,9 @@ def training(labels_dir,
 
     # data-parallel mesh: batches shard over 'data', parameters replicate
     # (gradient psums ride ICI, reference has no distributed analogue)
-    from ..parallel.mesh import (host_local_batch_to_global, make_data_mesh,
-                                 replicate, shard_batch)
+    from ..parallel.mesh import (host_local_batch_to_global,
+                                 host_local_stacked_to_global, make_data_mesh,
+                                 replicate)
 
     if n_devices is None:
         # never build a mesh wider than the batch (batch shards over 'data')
@@ -517,7 +567,7 @@ def training(labels_dir,
     # fake volumes inside each of the 10-per-G discriminator iterations —
     # the largest single compute in a D iteration), incl. under data
     # parallelism (shard_map, same wiring as the supervised DP-fast step)
-    disc_step, gen_step = make_adversarial_steps(
+    disc_step, gen_step, disc_steps = make_adversarial_steps(
         gen_model, disc_model, generate_fn, gen_opt, disc_opt,
         gmm_sampler=gmm_sampler, residual_indices=residual_indices,
         loss_cropping=loss_cropping,
@@ -527,7 +577,19 @@ def training(labels_dir,
         mask_lut=mask_lut, need_labels=need_labels,
         seg_apply=seg_apply, seg_vars=seg_vars, seg_eq=seg_eq,
         generation_labels=generation_labels, norm_m=norm_m, norm_M=norm_M,
-        fast_forward=fast_forward, compute_dtype=dt, data_mesh=mesh)
+        fast_forward=fast_forward, compute_dtype=dt, data_mesh=mesh,
+        with_scan=True)
+
+    # scanned critic inner loop: chunks of ``training_ratio`` iterations run
+    # as ONE executable (kills the ~20 ms per-dispatch tunnel/host overhead
+    # of the 10 separate disc_step launches per cycle); bit-identical
+    # key-stream/params to the sequential path (tested).  "auto": on for
+    # the TPU backend, off on CPU where the extra executable's compile time
+    # dominates any dispatch saving.
+    scan_k = None
+    if scan_inner is True or (scan_inner == "auto"
+                              and jax.default_backend() == "tpu"):
+        scan_k = max(int(training_ratio), 1)
 
     # ----- training loop (reference :444-479) -----
     from ..synth.model_inputs import build_model_inputs
@@ -594,7 +656,22 @@ def training(labels_dir,
         for step_i in range(int(steps_per_epoch)):
             ratio = first_training_ratio if (epoch == 0 and step_i == 0) \
                 else training_ratio
-            for _ in range(ratio):
+            n_chunks, n_rem = divmod(ratio, scan_k) if scan_k else (0, ratio)
+            for _ in range(n_chunks):
+                locals_ = [tuple(np.asarray(x) for x in next(inputs_gen))
+                           for _ in range(scan_k)]
+                stacked = host_local_stacked_to_global(
+                    mesh, tuple(np.stack(parts) for parts in zip(*locals_)))
+                disc_params, disc_opt_state, key, d_losses = disc_steps(
+                    gen_params, gen_bs, disc_params, disc_opt_state, key,
+                    stacked)
+                # a non-finite loss anywhere in the chunk propagates
+                # through the sum; per-iteration writes are gated on device
+                d_sum = jnp.sum(d_losses)
+                guard_d.push(f"epoch {epoch + 1} step {step_i + 1}", d_sum)
+                avg_d += d_sum
+                n_d += scan_k
+            for _ in range(n_rem):
                 batch = host_local_batch_to_global(
                     mesh, tuple(np.asarray(x) for x in next(inputs_gen)))
                 key, sub = jax.random.split(key)

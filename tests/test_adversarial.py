@@ -299,6 +299,56 @@ def test_adversarial_dp_fast_adam_tolerance_band(dp_setup):
             "mismatch beyond reduction-order residues"
 
 
+def test_disc_steps_scan_matches_sequential(dp_setup):
+    """The scanned critic inner loop (one executable for K iterations) must
+    be BIT-IDENTICAL to K sequential disc_step calls: same key-stream
+    (key, sub = split(key) per iteration), same per-iteration batches, same
+    params/opt-state/losses — single-jit and 4-device DP fast path."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from synthsr_tpu.parallel.mesh import make_data_mesh, replicate
+    from synthsr_tpu.train.adversarial import make_adversarial_steps
+    from synthsr_tpu.train.metrics import doubled_residual_indices
+
+    (generate_fn, gen_model, gen_vars, disc_model, disc_params,
+     gmm_sampler, batch) = dp_setup
+    rng2 = np.random.default_rng(11)
+    batch2 = (rng2.integers(0, 2, (4, 16, 16, 16, 1)).astype(np.int32) * 2,)
+    stacked = (np.stack([batch[0], batch2[0]]),)
+    mesh = make_data_mesh(4)
+    for name in ("single", "dp"):
+        gen_opt, disc_opt = optax.sgd(1e-3), optax.sgd(1e-3)
+        disc_step, _, disc_steps = make_adversarial_steps(
+            gen_model, disc_model, generate_fn, gen_opt, disc_opt,
+            gmm_sampler=gmm_sampler,
+            residual_indices=doubled_residual_indices(None, False),
+            loss_cropping=None, fast_forward="interpret",
+            compute_dtype=jnp.float32, with_scan=True,
+            data_mesh=mesh if name == "dp" else None)
+        d_opt_state = disc_opt.init(disc_params)
+        gp, gb = gen_vars["params"], gen_vars["batch_stats"]
+        key0 = jax.random.PRNGKey(29)
+
+        # sequential: the host loop's exact key handling
+        dp_seq, dos_seq, key, losses = disc_params, d_opt_state, key0, []
+        for b in (batch, batch2):
+            key, sub = jax.random.split(key)
+            dp_seq, dos_seq, loss = disc_step(gp, gb, dp_seq, dos_seq, sub,
+                                              tuple(jnp.asarray(x) for x in b))
+            losses.append(float(loss))
+
+        dp_scan, dos_scan, key_scan, losses_scan = disc_steps(
+            gp, gb, disc_params, d_opt_state, key0,
+            tuple(jnp.asarray(x) for x in stacked))
+        np.testing.assert_array_equal(np.asarray(key), np.asarray(key_scan))
+        np.testing.assert_allclose(np.asarray(losses_scan), losses, rtol=1e-6)
+        for a, b in zip(jax.tree.leaves(dp_seq), jax.tree.leaves(dp_scan)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-7, rtol=1e-6)
+
+
 def test_adversarial_with_mask(adv_dataset, tmp_path):
     from synthsr_tpu.train.adversarial import training
 

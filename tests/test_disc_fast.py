@@ -81,6 +81,15 @@ def test_fast_disc_first_order_grads_match(disc_setup):
     np.testing.assert_allclose(np.asarray(gx_fast), np.asarray(gx_ref),
                                rtol=2e-4, atol=2e-5)
 
+    # the critic-update build (input_grad_needed=False, skips the dead
+    # level-0 input-gradient conv): IDENTICAL parameter gradients
+    fast_d = make_fast_disc_apply(model, interpret=True,
+                                  input_grad_needed=False)
+    gp_d = jax.grad(wgan(fast_d))(params, x)
+    for a, b in zip(jax.tree_util.tree_leaves(gp_d),
+                    jax.tree_util.tree_leaves(gp_fast)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
 
 def test_fast_disc_input_grad_matches_autodiff(disc_setup):
     model, params, x = disc_setup
