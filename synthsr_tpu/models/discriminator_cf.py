@@ -157,8 +157,12 @@ def _head_forward(params, xi, dt):
     return score, (feat, h)
 
 
+_CL_DN = ("NDHWC", "DHWIO", "NDHWC")
+
+
 def make_fast_disc_apply(model: Discriminator3D, interpret: bool = False,
-                         input_grad_needed: bool = True):
+                         input_grad_needed: bool = True,
+                         pallas_levels: int | None = None):
     """Build ``apply(params, x, mask=None) -> (B, 1)`` — a drop-in for
     ``disc_model.apply({"params": p}, x, mask)`` with the stride-1 3³ convs
     on the Pallas channels-first family (first-order differentiable via
@@ -169,22 +173,52 @@ def make_fast_disc_apply(model: Discriminator3D, interpret: bool = False,
     through ``x`` (the critic UPDATE — x is the generated constant), letting
     the level-0 conv skip its dead input-gradient conv in the backward.
     Keep True for the generator update, whose adversarial term needs
-    d(D(fake))/d(fake)."""
+    d(D(fake))/d(fake).
+
+    ``pallas_levels``: how many leading levels run the per-example
+    channels-first Pallas trunk; the remaining (deeper) levels transpose
+    back to channels-LAST and run batched XLA convs — the deep levels' small
+    spatial dims don't qualify for the kernels' layouts (they fall back to
+    channels-first XLA, a layout XLA lowers poorly), while their growing
+    channel counts are exactly where XLA's native channels-last conv and
+    true batching over the 2B WGAN examples do well.  None = all levels
+    (the original full-CF path)."""
     dt = model.compute_dtype
     nl = model.n_levels
+    pl = nl if pallas_levels is None else max(0, min(pallas_levels, nl))
 
     def apply(params, x, mask=None):
         x = x.astype(dt)
         if mask is not None:
             x = x * mask.astype(dt)
-        scores = []
+        feats = []
         for i in range(x.shape[0]):
             xi = jnp.transpose(x[i], (3, 0, 1, 2))
-            xi, _ = _levels_forward(params, xi, nl, interpret, s2d=False,
+            xi, _ = _levels_forward(params, xi, pl, interpret, s2d=False,
                                     first_dx=input_grad_needed)
-            score, _ = _head_forward(params, xi, dt)
-            scores.append(score)
-        return jnp.stack(scores).astype(jnp.float32)
+            feats.append(xi)
+        if pl == nl:
+            scores = [
+                _head_forward(params, f, dt)[0] for f in feats]
+            return jnp.stack(scores).astype(jnp.float32)
+        # deep levels: batched channels-last XLA
+        xb = jnp.stack([jnp.transpose(f, (1, 2, 3, 0)) for f in feats])
+        for level in range(pl, nl):
+            p0 = params[f"conv_{level}_0"]
+            p1 = params[f"conv_{level}_1"]
+            xb = lax.conv_general_dilated(
+                xb, p0["kernel"].astype(dt), (1, 1, 1), "SAME",
+                dimension_numbers=_CL_DN) + p0["bias"].astype(dt)
+            xb = jax.nn.leaky_relu(xb, 0.2)
+            xb = lax.conv_general_dilated(
+                xb, p1["kernel"].astype(dt), (2, 2, 2), "SAME",
+                dimension_numbers=_CL_DN) + p1["bias"].astype(dt)
+            xb = jax.nn.leaky_relu(xb, 0.2)
+        feat = xb.reshape(xb.shape[0], -1)
+        w0, b0 = params["dense_0"]["kernel"], params["dense_0"]["bias"]
+        h = jax.nn.leaky_relu(feat @ w0.astype(dt) + b0.astype(dt), 0.2)
+        w1, b1 = params["dense_out"]["kernel"], params["dense_out"]["bias"]
+        return (h.astype(jnp.float32) @ w1 + b1).astype(jnp.float32)
 
     return apply
 

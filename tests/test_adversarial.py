@@ -318,7 +318,11 @@ def test_disc_steps_scan_matches_sequential(dp_setup):
     batch2 = (rng2.integers(0, 2, (4, 16, 16, 16, 1)).astype(np.int32) * 2,)
     stacked = (np.stack([batch[0], batch2[0]]),)
     mesh = make_data_mesh(4)
-    for name in ("single", "dp"):
+    # DP mode only: scan-vs-sequential equality within the shard_map path
+    # also covers the meshless composition (the scan wraps the same body;
+    # dp-vs-single equality itself is pinned by the tests above) at half
+    # the interpret-mode compile+run cost
+    for name in ("dp",):
         gen_opt, disc_opt = optax.sgd(1e-3), optax.sgd(1e-3)
         disc_step, _, disc_steps = make_adversarial_steps(
             gen_model, disc_model, generate_fn, gen_opt, disc_opt,

@@ -48,6 +48,12 @@ def test_fast_disc_apply_matches_flax(disc_setup):
     out = fast(params, x)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+    # hybrid trunk splits (Pallas leading levels + batched CL XLA deep
+    # levels) must produce the same scores at every split point
+    for pl in range(model.n_levels):
+        hyb = make_fast_disc_apply(model, interpret=True, pallas_levels=pl)
+        np.testing.assert_allclose(np.asarray(hyb(params, x)),
+                                   np.asarray(ref), rtol=1e-5, atol=1e-5)
     # masked input parity
     mask = jnp.asarray(
         np.random.default_rng(1).integers(0, 2, x.shape), jnp.float32)

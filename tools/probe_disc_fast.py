@@ -118,6 +118,25 @@ def main():
                         ("fast full critic", full_body)]:
         print(f"{label:20s}: {timeit_injit(body, ops):8.2f} ms", flush=True)
 
+    # hybrid A/B: Pallas CF for the leading level(s), batched
+    # channels-last XLA for the deep levels
+    for pl in (1, 2):
+        hyb = make_fast_disc_apply(disc, input_grad_needed=False,
+                                   pallas_levels=pl)
+
+        def hyb_wgan_body(eps, ops, hyb=hyb):
+            dp, target, fake, x_hat = ops
+            b = target.shape[0]
+
+            def loss_fn(p):
+                d = hyb(p, jnp.concatenate([target, fake]) + eps)
+                return jnp.mean(-d[:b]) + jnp.mean(d[b:])
+            l, g = jax.value_and_grad(loss_fn)(dp)
+            return l + tree_sum(g) * 1e-12
+
+        print(f"hyb(pl={pl}) WGAN d/dp: "
+              f"{timeit_injit(hyb_wgan_body, ops):8.2f} ms", flush=True)
+
 
 if __name__ == "__main__":
     main()
