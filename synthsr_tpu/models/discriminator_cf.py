@@ -181,11 +181,17 @@ def make_fast_disc_apply(model: Discriminator3D, interpret: bool = False,
     spatial dims don't qualify for the kernels' layouts (they fall back to
     channels-first XLA, a layout XLA lowers poorly), while their growing
     channel counts are exactly where XLA's native channels-last conv and
-    true batching over the 2B WGAN examples do well.  None = all levels
-    (the original full-CF path)."""
+    true batching over the 2B WGAN examples do well.  A half-integral value
+    (e.g. 0.5) additionally runs the NEXT level's stride-1 conv in CF Pallas
+    before switching — 0.5 = only the cin=1 first conv (XLA's weakest, the
+    kernel family's best shape) runs Pallas.  None = all levels (the
+    original full-CF path)."""
     dt = model.compute_dtype
     nl = model.n_levels
-    pl = nl if pallas_levels is None else max(0, min(pallas_levels, nl))
+    pl = float(nl if pallas_levels is None else
+               max(0.0, min(float(pallas_levels), float(nl))))
+    pl_whole = int(pl)
+    half = (pl - pl_whole) > 0 and pl_whole < nl
 
     def apply(params, x, mask=None):
         x = x.astype(dt)
@@ -194,16 +200,29 @@ def make_fast_disc_apply(model: Discriminator3D, interpret: bool = False,
         feats = []
         for i in range(x.shape[0]):
             xi = jnp.transpose(x[i], (3, 0, 1, 2))
-            xi, _ = _levels_forward(params, xi, pl, interpret, s2d=False,
-                                    first_dx=input_grad_needed)
+            xi, _ = _levels_forward(params, xi, pl_whole, interpret,
+                                    s2d=False, first_dx=input_grad_needed)
+            if half:
+                p0 = params[f"conv_{pl_whole}_0"]
+                xi = conv3d_cf_train((xi,), p0["kernel"], p0["bias"],
+                                     "leaky", interpret,
+                                     pl_whole > 0 or input_grad_needed)
             feats.append(xi)
-        if pl == nl:
+        if pl_whole == nl:
             scores = [
                 _head_forward(params, f, dt)[0] for f in feats]
             return jnp.stack(scores).astype(jnp.float32)
         # deep levels: batched channels-last XLA
         xb = jnp.stack([jnp.transpose(f, (1, 2, 3, 0)) for f in feats])
-        for level in range(pl, nl):
+        start = pl_whole
+        if half:
+            p1 = params[f"conv_{start}_1"]
+            xb = lax.conv_general_dilated(
+                xb, p1["kernel"].astype(dt), (2, 2, 2), "SAME",
+                dimension_numbers=_CL_DN) + p1["bias"].astype(dt)
+            xb = jax.nn.leaky_relu(xb, 0.2)
+            start += 1
+        for level in range(start, nl):
             p0 = params[f"conv_{level}_0"]
             p1 = params[f"conv_{level}_1"]
             xb = lax.conv_general_dilated(
@@ -223,17 +242,125 @@ def make_fast_disc_apply(model: Discriminator3D, interpret: bool = False,
     return apply
 
 
-def make_fast_disc_input_grad(model: Discriminator3D, interpret: bool = False):
+def _s2d_cl(x):
+    """(D, H, W, C) -> (D/2, H/2, W/2, 8C), phase-major channel layout
+    p·C + c with p = 4·p_d + 2·p_h + p_w (matches _s2d_kernel)."""
+    d, h, w, c = x.shape
+    return x.reshape(d // 2, 2, h // 2, 2, w // 2, 2, c) \
+        .transpose(0, 2, 4, 1, 3, 5, 6).reshape(d // 2, h // 2, w // 2, 8 * c)
+
+
+def _d2s_cl(x):
+    """Inverse of _s2d_cl."""
+    d, h, w, c8 = x.shape
+    c = c8 // 8
+    return x.reshape(d, h, w, 2, 2, 2, c) \
+        .transpose(0, 3, 1, 4, 2, 5, 6).reshape(2 * d, 2 * h, 2 * w, c)
+
+
+def _conv_s2_cl(x, kernel, bias, dt):
+    """SAME 3³ stride-2 conv, channels-last single example, computed via
+    space-to-depth + 2³ stride-1 (exact on even dims; keeps every derivative
+    order a stride-1 conv)."""
+    q = _s2d_cl(x)
+    y = lax.conv_general_dilated(
+        q[None], _s2d_kernel(kernel).astype(dt), (1, 1, 1),
+        [(0, 1)] * 3, dimension_numbers=_CL_DN)[0]
+    return y + bias.astype(dt)
+
+
+def _conv_s2_cl_transpose(g, kernel):
+    """Input gradient of ``_conv_s2_cl``: transpose of the 2³ stride-1
+    pad-(0,1) conv (flipped taps, in/out swapped, pad (1,0)), then
+    depth-to-space — all channels-last."""
+    k2 = _s2d_kernel(kernel)
+    kt = jnp.flip(k2, (0, 1, 2)).swapaxes(3, 4)
+    dq = lax.conv_general_dilated(
+        g[None], kt.astype(g.dtype), (1, 1, 1), [(1, 0)] * 3,
+        dimension_numbers=_CL_DN)[0]
+    return _d2s_cl(dq)
+
+
+def _conv_s1_cl(x, kernel, dt, bias=None):
+    """SAME 3³ stride-1 conv, channels-last single example."""
+    y = lax.conv_general_dilated(
+        x[None], kernel.astype(dt), (1, 1, 1), "SAME",
+        dimension_numbers=_CL_DN)[0]
+    return y if bias is None else y + bias.astype(dt)
+
+
+def make_fast_disc_input_grad(model: Discriminator3D, interpret: bool = False,
+                              pallas_levels: float | None = None):
     """Build ``input_grad(params, x, mask=None) -> d(Σ_b D(x))/dx`` as an
     explicit first-order program (module docstring): forward trunk saving
     post-activations, then the hand-rolled backward chain — LeakyReLU
     derivative masks recovered from the saved outputs, transposed stride-1
-    convs through the Pallas dispatch, stride-2 transposes in the
-    space-to-depth stride-1 form.  ``jax.grad`` of any function of its
-    output (the gradient penalty) differentiates every op here exactly ONCE,
-    which the Pallas custom_vjp supports."""
+    convs, stride-2 transposes in the space-to-depth stride-1 form.
+    ``jax.grad`` of any function of its output (the gradient penalty)
+    differentiates every op here exactly ONCE, which the Pallas custom_vjp
+    supports.
+
+    ``pallas_levels``: None = the full channels-first trunk (Pallas
+    stride-1 convs, CF-XLA s2d stride-2).  ``0.5`` = only the cin=1 first
+    conv runs the Pallas CF kernel; every other op — forward AND backward
+    chain — runs channels-LAST XLA with s2d stride-2 (still stride-1 at
+    every derivative order), the layout XLA lowers best at the critic's
+    32-256-channel interior shapes (same A/B rationale as
+    make_fast_disc_apply's pallas_levels=0.5)."""
     dt = model.compute_dtype
     nl = model.n_levels
+    if pallas_levels is not None and pallas_levels != 0.5:
+        raise ValueError("input-grad program supports pallas_levels in "
+                         "(None, 0.5)")
+
+    def input_grad_one_cl(params, xi_cf, mask_cf=None):
+        """pallas_levels=0.5 variant: xi_cf (1, D, H, W); returns CF grad."""
+        if mask_cf is not None:
+            xi_cf = xi_cf * mask_cf
+        p00 = params["conv_0_0"]
+        s0_cf = conv3d_cf_train((xi_cf,), p00["kernel"], p00["bias"],
+                                "leaky", interpret, False)
+        x = jnp.transpose(s0_cf, (1, 2, 3, 0))          # -> channels-last
+        s0 = x
+        saved = []
+        for level in range(nl):
+            if level > 0:
+                p0 = params[f"conv_{level}_0"]
+                x = jax.nn.leaky_relu(
+                    _conv_s1_cl(x, p0["kernel"], dt, p0["bias"]), 0.2)
+            pre = x
+            p1 = params[f"conv_{level}_1"]
+            x = jax.nn.leaky_relu(
+                _conv_s2_cl(x, p1["kernel"], p1["bias"], dt), 0.2)
+            saved.append((pre, x))
+        feat = x.reshape(-1)                            # CL flatten order
+        w0, b0 = params["dense_0"]["kernel"], params["dense_0"]["bias"]
+        h = jax.nn.leaky_relu(feat @ w0.astype(dt) + b0.astype(dt), 0.2)
+
+        # ----- backward chain, channels-last -----
+        w1 = params["dense_out"]["kernel"][:, 0]
+        dh = _leaky_mul(w1.astype(dt), h)
+        g = (params["dense_0"]["kernel"].astype(dt) @ dh).reshape(x.shape)
+        for level in reversed(range(nl)):
+            pre, post = saved[level]
+            p1 = params[f"conv_{level}_1"]
+            g = _leaky_mul(g, post)
+            g = _conv_s2_cl_transpose(g, p1["kernel"])
+            if level > 0:
+                p0 = params[f"conv_{level}_0"]
+                g = _leaky_mul(g, pre)
+                g = _conv_s1_cl(
+                    g, jnp.transpose(jnp.flip(p0["kernel"], (0, 1, 2)),
+                                     (0, 1, 2, 4, 3)), dt)
+        g = _leaky_mul(g, s0)
+        # final transposed first conv (32 -> 1 channel) in CL XLA
+        p00k = jnp.transpose(jnp.flip(p00["kernel"], (0, 1, 2)),
+                             (0, 1, 2, 4, 3))
+        g = _conv_s1_cl(g, p00k, dt)
+        g = jnp.transpose(g, (3, 0, 1, 2))              # back to CF
+        if mask_cf is not None:
+            g = g * mask_cf
+        return g
 
     def input_grad_one(params, xi, mask_i=None):
         # ----- forward, saving per-level post-activations -----
@@ -267,6 +394,8 @@ def make_fast_disc_input_grad(model: Discriminator3D, interpret: bool = False):
             g = g * mask_i
         return g
 
+    one = input_grad_one_cl if pallas_levels == 0.5 else input_grad_one
+
     def input_grad(params, x, mask=None):
         x = x.astype(dt)
         mask = None if mask is None else mask.astype(dt)
@@ -274,7 +403,7 @@ def make_fast_disc_input_grad(model: Discriminator3D, interpret: bool = False):
         for i in range(x.shape[0]):
             xi = jnp.transpose(x[i], (3, 0, 1, 2))
             mi = None if mask is None else jnp.transpose(mask[i], (3, 0, 1, 2))
-            g = input_grad_one(params, xi, mi)
+            g = one(params, xi, mi)
             grads.append(jnp.transpose(g, (1, 2, 3, 0)))
         return jnp.stack(grads)
 

@@ -174,15 +174,23 @@ def make_adversarial_steps(gen_model, disc_model, generate_fn, gen_opt,
 
     fast_disc_d = fast_disc_g = fast_disc_ig = None
     if use_fast and isinstance(disc_model, Discriminator3D):
-        # two builds of the same forward: the critic UPDATE differentiates
+        # pallas_levels=0.5: ONLY the cin=1 first conv runs the Pallas CF
+        # kernel (XLA's weakest conv shape, the kernel family's best); the
+        # rest runs batched channels-LAST XLA.  Measured A/B on the WGAN
+        # d/dp at 128³ bf16 (tools/probe_disc_fast.py): 51.1 ms (pl=0.5)
+        # vs 60.3 (all-XLA-CL) vs 67.3 (full-CF trunk — the flat Pallas
+        # stride-1 kernels + per-example loop + CF-XLA stride-2 convs net
+        # SLOWER than batched CL XLA: recorded negative) vs 80.2 (pl=1).
+        # Two builds of the same forward: the critic UPDATE differentiates
         # w.r.t. params only (its input is the generated constant), so its
-        # level-0 conv skips the dead input-gradient conv; the generator
-        # update needs d(D(fake))/d(fake) and keeps it
+        # first conv skips the dead input-gradient conv; the generator
+        # update needs d(D(fake))/d(fake) and keeps it.
         fast_disc_d = make_fast_disc_apply(
             disc_model, interpret=fast_forward == "interpret",
-            input_grad_needed=False)
+            input_grad_needed=False, pallas_levels=0.5)
         fast_disc_g = make_fast_disc_apply(
-            disc_model, interpret=fast_forward == "interpret")
+            disc_model, interpret=fast_forward == "interpret",
+            pallas_levels=0.5)
         fast_disc_ig = make_fast_disc_input_grad(
             disc_model, interpret=fast_forward == "interpret")
 

@@ -50,7 +50,7 @@ def test_fast_disc_apply_matches_flax(disc_setup):
                                rtol=1e-5, atol=1e-5)
     # hybrid trunk splits (Pallas leading levels + batched CL XLA deep
     # levels) must produce the same scores at every split point
-    for pl in range(model.n_levels):
+    for pl in (0, 0.5, 1, 1.5):
         hyb = make_fast_disc_apply(model, interpret=True, pallas_levels=pl)
         np.testing.assert_allclose(np.asarray(hyb(params, x)),
                                    np.asarray(ref), rtol=1e-5, atol=1e-5)
@@ -99,20 +99,21 @@ def test_fast_disc_first_order_grads_match(disc_setup):
 
 def test_fast_disc_input_grad_matches_autodiff(disc_setup):
     model, params, x = disc_setup
-    ig = make_fast_disc_input_grad(model, interpret=True)
 
     g_ref = jax.grad(
         lambda xx: jnp.sum(model.apply({"params": params}, xx)))(x)
-    g_fast = ig(params, x)
-    np.testing.assert_allclose(np.asarray(g_fast), np.asarray(g_ref),
-                               rtol=2e-4, atol=2e-5)
-    # with a mask
     mask = jnp.asarray(
         np.random.default_rng(1).integers(0, 2, x.shape), jnp.float32)
     g_ref_m = jax.grad(
         lambda xx: jnp.sum(model.apply({"params": params}, xx, mask)))(x)
-    np.testing.assert_allclose(np.asarray(ig(params, x, mask)),
-                               np.asarray(g_ref_m), rtol=2e-4, atol=2e-5)
+    for pl in (None, 0.5):  # full-CF program and the CL-interior variant
+        ig = make_fast_disc_input_grad(model, interpret=True,
+                                       pallas_levels=pl)
+        g_fast = ig(params, x)
+        np.testing.assert_allclose(np.asarray(g_fast), np.asarray(g_ref),
+                                   rtol=2e-4, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(ig(params, x, mask)),
+                                   np.asarray(g_ref_m), rtol=2e-4, atol=2e-5)
 
 
 def test_fast_gp_param_grads_match_double_autodiff(disc_setup):
@@ -120,7 +121,6 @@ def test_fast_gp_param_grads_match_double_autodiff(disc_setup):
     through the unrolled first-order program == true double autodiff of the
     flax critic."""
     model, params, x = disc_setup
-    ig = make_fast_disc_input_grad(model, interpret=True)
     x_hat = x[:1]
 
     def gp_ref(p):
@@ -131,18 +131,22 @@ def test_fast_gp_param_grads_match_double_autodiff(disc_setup):
         norm = jnp.sqrt(jnp.maximum(sq, 1e-12))
         return 10.0 * jnp.mean(jnp.square(1.0 - norm))
 
-    def gp_fast(p):
-        g = ig(p, x_hat)
-        sq = jnp.sum(jnp.square(g), axis=(1, 2, 3))
-        norm = jnp.sqrt(jnp.maximum(sq, 1e-12))
-        return 10.0 * jnp.mean(jnp.square(1.0 - norm))
-
     v_ref, g_ref = jax.value_and_grad(gp_ref)(params)
-    v_fast, g_fast = jax.value_and_grad(gp_fast)(params)
-    np.testing.assert_allclose(float(v_fast), float(v_ref),
-                               rtol=1e-5, atol=1e-7)
     flat_ref, _ = jax.tree_util.tree_flatten(g_ref)
-    flat_fast, _ = jax.tree_util.tree_flatten(g_fast)
-    for a, b in zip(flat_fast, flat_ref):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=5e-4, atol=5e-5)
+    for pl in (None, 0.5):  # full-CF program and the CL-interior variant
+        ig = make_fast_disc_input_grad(model, interpret=True,
+                                       pallas_levels=pl)
+
+        def gp_fast(p):
+            g = ig(p, x_hat)
+            sq = jnp.sum(jnp.square(g), axis=(1, 2, 3))
+            norm = jnp.sqrt(jnp.maximum(sq, 1e-12))
+            return 10.0 * jnp.mean(jnp.square(1.0 - norm))
+
+        v_fast, g_fast = jax.value_and_grad(gp_fast)(params)
+        np.testing.assert_allclose(float(v_fast), float(v_ref),
+                                   rtol=1e-5, atol=1e-7)
+        flat_fast, _ = jax.tree_util.tree_flatten(g_fast)
+        for a, b in zip(flat_fast, flat_ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=5e-4, atol=5e-5)

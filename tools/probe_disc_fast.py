@@ -110,17 +110,49 @@ def main():
 
     print(f"dtype={dt.__name__} FAST paths shape={shape} "
           f"(in-jit loop, per-rep ms)", flush=True)
-    for label, body in [("fast fwd (batch 1)", fwd1_body),
-                        ("fast fwd (batch 2)", fwd2_body),
-                        ("fast WGAN d/d(p)", wgan_body),
-                        ("fast GP input grad", ig_body),
-                        ("fast GP d/d(p)", gp_body),
-                        ("fast full critic", full_body)]:
-        print(f"{label:20s}: {timeit_injit(body, ops):8.2f} ms", flush=True)
+    base = [("fast fwd (batch 1)", fwd1_body),
+            ("fast fwd (batch 2)", fwd2_body),
+            ("fast WGAN d/d(p)", wgan_body),
+            ("fast GP input grad", ig_body),
+            ("fast GP d/d(p)", gp_body),
+            ("fast full critic", full_body)]
+    if "--hybrids-only" not in sys.argv:
+        for label, body in base:
+            print(f"{label:20s}: {timeit_injit(body, ops):8.2f} ms",
+                  flush=True)
+
+    # same-harness XLA channels-last strided baseline for the WGAN term
+    def xla_wgan_body(eps, ops):
+        dp, target, fake, x_hat = ops
+        b = target.shape[0]
+
+        def loss_fn(p):
+            d = disc.apply({"params": p},
+                           jnp.concatenate([target, fake]) + eps)
+            return jnp.mean(-d[:b]) + jnp.mean(d[b:])
+        l, g = jax.value_and_grad(loss_fn)(dp)
+        return l + tree_sum(g) * 1e-12
+
+    print(f"XLA-CL WGAN d/dp    : {timeit_injit(xla_wgan_body, ops):8.2f} ms",
+          flush=True)
+
+    # CL-interior unrolled GP program (pallas_levels=0.5 input grad)
+    ig_cl = make_fast_disc_input_grad(disc, pallas_levels=0.5)
+
+    def gp_cl_body(eps, ops):
+        dp, target, fake, x_hat = ops
+
+        def loss_fn(p):
+            return gradient_penalty_from_grads(ig_cl(p, x_hat + eps))
+        l, g = jax.value_and_grad(loss_fn)(dp)
+        return l + tree_sum(g) * 1e-12
+
+    print(f"GP(pl=0.5) d/d(p)   : {timeit_injit(gp_cl_body, ops):8.2f} ms",
+          flush=True)
 
     # hybrid A/B: Pallas CF for the leading level(s), batched
     # channels-last XLA for the deep levels
-    for pl in (1, 2):
+    for pl in (0.5, 1.5):
         hyb = make_fast_disc_apply(disc, input_grad_needed=False,
                                    pallas_levels=pl)
 
