@@ -80,7 +80,7 @@ def main():
         prior_stds=bg.prior_stds, prior_distributions="normal",
         n_channels=bg.n_channels,
         generation_classes=bg.generation_classes)
-    disc_step, gen_step, disc_steps = make_adversarial_steps(
+    disc_step, gen_step, disc_steps, cycle_step = make_adversarial_steps(
         gen_model, disc_model, generate_fn, gen_opt, disc_opt,
         gmm_sampler=gmm_sampler,
         residual_indices=doubled_residual_indices(None, False),
@@ -110,13 +110,12 @@ def main():
     key = jax.random.PRNGKey(0)
 
     def cycle(gp, gb, dp, g_opt_state, d_opt_state, key, i):
-        """One steady-state step: 10 critic updates (one scanned executable)
-        then 1 generator update (reference :452-466)."""
-        dp, d_opt_state, key, d_losses = disc_steps(
-            gp, gb, dp, d_opt_state, key, stacks[i % len(stacks)])
-        key, sub = jax.random.split(key)
-        gp, gb, g_opt_state, g_loss = gen_step(
-            gp, gb, dp, g_opt_state, sub, batches[i % len(batches)])
+        """One steady-state step: 10 critic updates + 1 generator update as
+        ONE executable (reference :452-466 semantics, train/adversarial.py
+        cycle_step — the production steady-state step)."""
+        gp, gb, dp, g_opt_state, d_opt_state, key, d_losses, g_loss = \
+            cycle_step(gp, gb, dp, g_opt_state, d_opt_state, key,
+                       stacks[i % len(stacks)], batches[i % len(batches)])
         return gp, gb, dp, g_opt_state, d_opt_state, key, (d_losses[-1], g_loss)
 
     # warm-up (first Pallas compile can take minutes on this platform)

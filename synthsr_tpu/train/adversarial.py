@@ -95,14 +95,19 @@ def make_adversarial_steps(gen_model, disc_model, generate_fn, gen_opt,
       gen_step(gen_params, gen_bs, disc_params, gen_opt_state, key, batch)
           -> (gen_params, gen_bs, gen_opt_state, g_loss)
 
-    ``with_scan=True`` additionally returns a third jitted update that runs
-    the whole 10:1 critic inner loop as ONE executable (lax.scan over a
-    stacked batch axis K), eliminating the per-dispatch tunnel/host overhead
-    of K separate disc_step launches (~20 ms each measured):
+    ``with_scan=True`` additionally returns a third and fourth jitted
+    update: the whole 10:1 critic inner loop as ONE executable (lax.scan
+    over a stacked batch axis K), eliminating the per-dispatch tunnel/host
+    overhead of K separate disc_step launches (~20 ms each measured), and
+    the full cycle (scan + generator update) as one executable:
 
       disc_steps(gen_params, gen_bs, disc_params, disc_opt_state, key,
                  batches)  # leaves stacked (K, B, ...)
           -> (disc_params, disc_opt_state, key, d_losses[K])
+      cycle_step(gen_params, gen_bs, disc_params, gen_opt_state,
+                 disc_opt_state, key, batches, gen_batch)
+          -> (gen_params, gen_bs, disc_params, gen_opt_state,
+              disc_opt_state, key, d_losses[K], g_loss)
 
     Key-stream parity with the host loop is exact: the scan body performs
     the same ``key, sub = jax.random.split(key)`` per iteration and returns
@@ -358,6 +363,25 @@ def make_adversarial_steps(gen_model, disc_model, generate_fn, gen_opt,
                 guard_updates(finite, updates["batch_stats"], gen_bs),
                 guard_updates(finite, new_state, gen_opt_state), loss)
 
+    _gen_body = gen_step  # pre-shard_map body (like _disc_body)
+    _disc_scan = disc_steps
+
+    def cycle_step(gen_params, gen_bs, disc_params, gen_opt_state,
+                   disc_opt_state, key, stacked, gen_batch):
+        """One full training-ratio cycle as ONE executable: the scanned K
+        critic updates then the generator update — host-loop key-stream
+        parity (per-iteration splits inside the scan, then one split for
+        the generator update).  One dispatch + one readback per cycle
+        instead of two of each (the tunneled dispatch/readback latency is
+        the residual between the summed step times and the end-to-end
+        cycle)."""
+        dp, dos, key, d_losses = _disc_scan(
+            gen_params, gen_bs, disc_params, disc_opt_state, key, stacked)
+        key, sub = jax.random.split(key)
+        gp2, gb2, gos, g_loss = _gen_body(gen_params, gen_bs, dp,
+                                          gen_opt_state, sub, gen_batch)
+        return gp2, gb2, dp, gos, dos, key, d_losses, g_loss
+
     if use_dp_fast:
         from jax import shard_map
         from jax.sharding import PartitionSpec as P
@@ -376,8 +400,15 @@ def make_adversarial_steps(gen_model, disc_model, generate_fn, gen_opt,
             disc_steps, mesh=data_mesh,
             in_specs=(P(), P(), P(), P(), P(), P(None, "data")),
             out_specs=(P(), P(), P(), P()), check_vma=False)
+        cycle_step = shard_map(
+            cycle_step, mesh=data_mesh,
+            in_specs=(P(), P(), P(), P(), P(), P(), P(None, "data"),
+                      P("data")),
+            out_specs=(P(), P(), P(), P(), P(), P(), P(), P()),
+            check_vma=False)
     if with_scan:
-        return jax.jit(disc_step), jax.jit(gen_step), jax.jit(disc_steps)
+        return (jax.jit(disc_step), jax.jit(gen_step), jax.jit(disc_steps),
+                jax.jit(cycle_step))
     return jax.jit(disc_step), jax.jit(gen_step)
 
 
@@ -575,7 +606,7 @@ def training(labels_dir,
     # fake volumes inside each of the 10-per-G discriminator iterations —
     # the largest single compute in a D iteration), incl. under data
     # parallelism (shard_map, same wiring as the supervised DP-fast step)
-    disc_step, gen_step, disc_steps = make_adversarial_steps(
+    disc_step, gen_step, disc_steps, cycle_step = make_adversarial_steps(
         gen_model, disc_model, generate_fn, gen_opt, disc_opt,
         gmm_sampler=gmm_sampler, residual_indices=residual_indices,
         loss_cropping=loss_cropping,
@@ -664,19 +695,40 @@ def training(labels_dir,
         for step_i in range(int(steps_per_epoch)):
             ratio = first_training_ratio if (epoch == 0 and step_i == 0) \
                 else training_ratio
-            n_chunks, n_rem = divmod(ratio, scan_k) if scan_k else (0, ratio)
-            for _ in range(n_chunks):
+            tag = f"epoch {epoch + 1} step {step_i + 1}"
+
+            def stack_chunk():
                 locals_ = [tuple(np.asarray(x) for x in next(inputs_gen))
                            for _ in range(scan_k)]
-                stacked = host_local_stacked_to_global(
+                return host_local_stacked_to_global(
                     mesh, tuple(np.stack(parts) for parts in zip(*locals_)))
-                disc_params, disc_opt_state, key, d_losses = disc_steps(
-                    gen_params, gen_bs, disc_params, disc_opt_state, key,
-                    stacked)
+
+            if scan_k and ratio == scan_k:
+                # the steady-state step: the whole cycle (K critic updates
+                # + generator update) is ONE dispatch
+                gen_batch = host_local_batch_to_global(
+                    mesh, tuple(np.asarray(x) for x in next(inputs_gen)))
+                (gen_params, gen_bs, disc_params, gen_opt_state,
+                 disc_opt_state, key, d_losses, g_loss) = cycle_step(
+                    gen_params, gen_bs, disc_params, gen_opt_state,
+                    disc_opt_state, key, stack_chunk(), gen_batch)
                 # a non-finite loss anywhere in the chunk propagates
                 # through the sum; per-iteration writes are gated on device
                 d_sum = jnp.sum(d_losses)
-                guard_d.push(f"epoch {epoch + 1} step {step_i + 1}", d_sum)
+                guard_d.push(tag, d_sum)
+                avg_d += d_sum
+                n_d += scan_k
+                guard_g.push(tag, g_loss)
+                avg_g += g_loss
+                continue
+
+            n_chunks, n_rem = divmod(ratio, scan_k) if scan_k else (0, ratio)
+            for _ in range(n_chunks):
+                disc_params, disc_opt_state, key, d_losses = disc_steps(
+                    gen_params, gen_bs, disc_params, disc_opt_state, key,
+                    stack_chunk())
+                d_sum = jnp.sum(d_losses)
+                guard_d.push(tag, d_sum)
                 avg_d += d_sum
                 n_d += scan_k
             for _ in range(n_rem):
@@ -685,7 +737,7 @@ def training(labels_dir,
                 key, sub = jax.random.split(key)
                 disc_params, disc_opt_state, d_loss = disc_step(
                     gen_params, gen_bs, disc_params, disc_opt_state, sub, batch)
-                guard_d.push(f"epoch {epoch + 1} step {step_i + 1}", d_loss)
+                guard_d.push(tag, d_loss)
                 avg_d += d_loss
                 n_d += 1
             batch = host_local_batch_to_global(
@@ -693,7 +745,7 @@ def training(labels_dir,
             key, sub = jax.random.split(key)
             gen_params, gen_bs, gen_opt_state, g_loss = gen_step(
                 gen_params, gen_bs, disc_params, gen_opt_state, sub, batch)
-            guard_g.push(f"epoch {epoch + 1} step {step_i + 1}", g_loss)
+            guard_g.push(tag, g_loss)
             avg_g += g_loss
         guard_d.flush()
         guard_g.flush()

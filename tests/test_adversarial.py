@@ -324,7 +324,7 @@ def test_disc_steps_scan_matches_sequential(dp_setup):
     # the interpret-mode compile+run cost
     for name in ("dp",):
         gen_opt, disc_opt = optax.sgd(1e-3), optax.sgd(1e-3)
-        disc_step, _, disc_steps = make_adversarial_steps(
+        disc_step, _, disc_steps, _cycle = make_adversarial_steps(
             gen_model, disc_model, generate_fn, gen_opt, disc_opt,
             gmm_sampler=gmm_sampler,
             residual_indices=doubled_residual_indices(None, False),
@@ -349,6 +349,37 @@ def test_disc_steps_scan_matches_sequential(dp_setup):
         np.testing.assert_array_equal(np.asarray(key), np.asarray(key_scan))
         np.testing.assert_allclose(np.asarray(losses_scan), losses, rtol=1e-6)
         for a, b in zip(jax.tree.leaves(dp_seq), jax.tree.leaves(dp_scan)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-7, rtol=1e-6)
+
+        # cycle_step (scan + generator update fused, the production
+        # steady-state step) must equal the sequential host loop: scan
+        # outputs as above, then gen_step with the NEXT key split
+        g_opt_state = gen_opt.init(gp)
+        key2, sub = jax.random.split(key)
+        _, gstep, _, cstep = make_adversarial_steps(
+            gen_model, disc_model, generate_fn, gen_opt, disc_opt,
+            gmm_sampler=gmm_sampler,
+            residual_indices=doubled_residual_indices(None, False),
+            loss_cropping=None, fast_forward="interpret",
+            compute_dtype=jnp.float32, with_scan=True,
+            data_mesh=mesh if name == "dp" else None)
+        gp_ref, _, gos_ref, g_loss_ref = gstep(
+            gp, gb, dp_seq, g_opt_state, sub,
+            tuple(jnp.asarray(x) for x in batch))
+        (gp_c, _, dp_c, gos_c, dos_c, key_c, dl_c, gl_c) = cstep(
+            gp, gb, disc_params, g_opt_state, d_opt_state, key0,
+            tuple(jnp.asarray(x) for x in stacked),
+            tuple(jnp.asarray(x) for x in batch))
+        np.testing.assert_array_equal(np.asarray(key2), np.asarray(key_c))
+        np.testing.assert_allclose(float(gl_c), float(g_loss_ref), rtol=1e-6)
+        for a, b in zip(jax.tree.leaves(gp_c), jax.tree.leaves(gp_ref)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-7, rtol=1e-6)
+        # separately-jitted executables (the cycle inlines the scan into a
+        # larger program): XLA may fuse reductions differently, so tight
+        # allclose rather than bit-equality
+        for a, b in zip(jax.tree.leaves(dp_c), jax.tree.leaves(dp_scan)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=1e-7, rtol=1e-6)
 

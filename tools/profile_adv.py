@@ -83,11 +83,12 @@ def main():
         n_labels=len(generation_labels), prior_means=bg.prior_means,
         prior_stds=bg.prior_stds, prior_distributions="normal",
         n_channels=bg.n_channels, generation_classes=bg.generation_classes)
-    disc_step, gen_step = make_adversarial_steps(
+    disc_step, gen_step, disc_steps, cycle_step = make_adversarial_steps(
         gen_model, disc_model, generate_fn, gen_opt, disc_opt,
         gmm_sampler=gmm_sampler,
         residual_indices=doubled_residual_indices(None, False),
-        loss_cropping=96, fast_forward="auto", compute_dtype=jnp.bfloat16)
+        loss_cropping=96, fast_forward="auto", compute_dtype=jnp.bfloat16,
+        with_scan=True)
 
     gen = build_model_inputs(path_label_maps=bg.labels_paths,
                              n_labels=len(generation_labels),
@@ -128,6 +129,12 @@ def main():
           f"{timeit(lambda: gen_step(gp, gb, dp, g_opt_state, k2, batch)):8.2f} ms",
           flush=True)
 
+    stacked = tuple(jnp.stack([a] * 10) for a in batch)
+    jax.block_until_ready(stacked)
+    print(f"disc_steps scan K=10: "
+          f"{timeit(lambda: disc_steps(gp, gb, dp, d_opt_state, k1, stacked), n=5):8.2f} ms",
+          flush=True)
+
     # decomposition: generation alone and the G fake forward alone (same
     # shapes/dtypes as inside disc_step) — the basis for the
     # discriminator-kernel decision
@@ -144,6 +151,16 @@ def main():
 
     print(f"generation alone   : "
           f"{timeit(lambda: gen_alone(key, batch)):8.2f} ms", flush=True)
+
+    # batched generation: the critic inner loop's K=10 draws as ONE vmapped
+    # program (the generator is FROZEN during the critic iterations and the
+    # key chain is precomputable, so the 10 per-iteration generations can be
+    # hoisted and batched — phase-A restructuring candidate)
+    batch10 = tuple(jnp.concatenate([a] * 10) for a in batch)
+    jax.block_until_ready(batch10)
+    print(f"generation x10 vmap: "
+          f"{timeit(lambda: gen_alone(key, batch10), n=5):8.2f} ms",
+          flush=True)
 
     img = gen_alone(key, batch)[0]
 
