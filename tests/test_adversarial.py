@@ -119,6 +119,11 @@ def test_adversarial_short_run(adv_dataset, tmp_path):
         epochs=1, steps_per_epoch=2, first_training_ratio=2, training_ratio=1,
         lr_generator=1e-3, lr_discriminator=1e-3, seed=0, batchsize=2,
         n_devices=2, compute_dtype="float32",
+        # scan_inner=True (the TPU default) with first_training_ratio=2 and
+        # training_ratio=1 drives BOTH inner-loop paths: step 0 takes the
+        # chunked disc_steps path (ratio 2 = two K=1 chunks), step 1 the
+        # fused cycle_step path (ratio == scan_k)
+        scan_inner=True,
         log_fn=lambda s: logs.append(s))
     assert np.isfinite(out["d_curve"][0]) and np.isfinite(out["g_curve"][0])
     assert os.path.isfile(os.path.join(model_dir, "generator_1.h5"))

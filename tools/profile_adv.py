@@ -154,12 +154,12 @@ def main():
 
     # batched generation: the critic inner loop's K=10 draws as ONE vmapped
     # program (the generator is FROZEN during the critic iterations and the
-    # key chain is precomputable, so the 10 per-iteration generations can be
+    # key chain is precomputable, so the per-iteration generations could be
     # hoisted and batched — phase-A restructuring candidate)
-    batch10 = tuple(jnp.concatenate([a] * 10) for a in batch)
-    jax.block_until_ready(batch10)
-    print(f"generation x10 vmap: "
-          f"{timeit(lambda: gen_alone(key, batch10), n=5):8.2f} ms",
+    batch5 = tuple(jnp.concatenate([a] * 5) for a in batch)
+    jax.block_until_ready(batch5)
+    print(f"generation x5 vmap : "
+          f"{timeit(lambda: gen_alone(key, batch5), n=5):8.2f} ms",
           flush=True)
 
     img = gen_alone(key, batch)[0]
