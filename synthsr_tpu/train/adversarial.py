@@ -17,6 +17,44 @@ generation runs on device inside both steps.
 Deviation (documented): ``work_with_residual_channel`` is validated but never
 applied in the reference (:256-261, unused afterwards); here it is applied to
 the generator output like in supervised training.
+
+Performance record (round 5, BASELINE config #5, 128³ bf16 batch 1 on one
+v5e chip; every number from tools/profile_adv.py / tools/probe_disc_fast.py
+with true value-readback syncs, end-to-end from bench_adversarial.py):
+
+  bench: 0.438 (r4) → 0.497 G-updates/s via (a) pallas_levels=0.5 critic
+  (WGAN d/dp 60.7 → 51.1 ms), (b) the K=10 scanned critic inner loop + the
+  fused cycle_step (per-dispatch overhead 11 launches → 1).
+  disc_step 162.6 ms = generation 47.6 + fast G fake fwd 27 + critic ~88;
+  gen_step 151.2; scan K=10 = 1640.8 (1.6 ms/iter scan overhead).
+
+Why the remaining gap to a 10× vs-baseline (0.68 = 1471 ms/cycle) is
+structural, each alternative bounded by a recorded probe:
+
+1. Per-cycle MANDATORY work at measured floors: 10·(generation 47.6 +
+   G fake forward 27) + gen_step 151 ≈ 897 ms with a ZERO-cost critic —
+   the 10:1 ratio times the synthesis pipeline is 61% of the budget.  The
+   generation block carries two rounds of dedicated optimization
+   (interpn_packed, runtime-bounded stencil dispatch, r4); the G forward
+   runs the Pallas family at its measured rate (the 11.8× predict path).
+2. The critic budget left at 10× is (1471-897)/10 ≈ 57 ms for THREE
+   critic applications + the GP input gradient + the full parameter
+   backward.  The best measured WGAN d/dp is 51.1 ms (pallas_levels=0.5)
+   and the best GP d/dp 41.9 ms (unrolled CF program) — each the winner
+   of an A/B family: WGAN 51.1 (pl=0.5) / 60.3 (all-XLA-CL) / 66.1
+   (pl=1.5) / 67.3 (full-CF Pallas trunk) / 80.2 (pl=1); GP 41.9 (CF
+   unrolled) / 52.7 (CL-interior unrolled) / 57.9 (XLA s2d double
+   autodiff).  Every formulation sits at ~10 TF/s — the bound is XLA's
+   3-D conv-gradient lowering at the critic's 32-256ch interior shapes,
+   which none of the kernel-family layouts cover (their win is the
+   large-spatial/small-channel regime).
+3. Hoisting the 10 generations into one vmapped phase-A program (the
+   generator is frozen during critic iterations, the key chain is
+   precomputable) is refuted twice (profile_adv.py probes): K=10 OOMs
+   (15.78 of 15.75 G HBM), and K=5 measures 486 ms vs 5·47.6 = 238 ms
+   sequential — 2× SLOWER batched (the runtime-bounded SVF dispatch
+   reverts to the static policy under vmap and the batched gathers
+   don't amortize).
 """
 
 from __future__ import annotations
