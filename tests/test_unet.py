@@ -377,10 +377,10 @@ def test_fast_cf_forward_matches_flax():
                                      dtype=jnp.float32))
     np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-4)
     # split + TTA below check WIRING (executable split, flip alignment) —
-    # shape-independent given a == b pins the kernels — so they run at 1/2
-    # the voxels (level 0 still planes-dispatched: W=128; H=16 keeps all 5
+    # shape-independent given a == b pins the kernels — so they run at 1/4
+    # the voxels (level 0 flat-dispatched: H·W = 1024; D=H=16 keeps all 5
     # levels poolable, the model's minimum)
-    x2 = jnp.asarray(rng.normal(size=(1, 16, 16, 128, 1)).astype(np.float32))
+    x2 = jnp.asarray(rng.normal(size=(1, 16, 16, 64, 1)).astype(np.float32))
     a2 = np.asarray(model.apply(variables, x2))
     st = fast_unet_forward(model, variables, x2, interpret=True,
                            dtype=jnp.float32, stop_before_level=3)
